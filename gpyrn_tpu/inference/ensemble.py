@@ -1,0 +1,281 @@
+"""TPU-native affine-invariant ensemble MCMC.
+
+The reference samples the hyperparameter posterior with emcee, where each
+walker step is a full host-side ELBO fit (reference meanfield.py:1154-1286;
+its example_4.py parallelises walkers with multiprocessing.Pool(8)).  Here
+the walker population *is* the batch axis: every ensemble half-step
+evaluates the ELBO of all proposal walkers in ONE vmapped, jitted device
+call (per-walker warm-started variational state included), so the natural
+data parallelism of the ensemble rides the accelerator — and shards across
+chips via the mesh utilities in :mod:`gpyrn_tpu.parallel`.
+
+The move is the Goodman & Weare (2010) stretch move with a = 2 (the same
+algorithm emcee implements), the convergence rule is the reference's
+autocorrelation criterion (τ·100 < iteration and |Δτ|/τ < 1%, checked
+every 10 steps), and checkpoint/resume uses a compressed npz file (the
+reference used emcee's HDF5 backend).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["run_ensemble", "EnsembleResult", "autocorr_time"]
+
+
+# --------------------------------------------------------------------------
+# integrated autocorrelation time (FFT method, Goodman-Weare windowing)
+# --------------------------------------------------------------------------
+
+def _next_pow_two(n: int) -> int:
+    i = 1
+    while i < n:
+        i = i << 1
+    return i
+
+
+def _autocorr_1d(x: np.ndarray) -> np.ndarray:
+    x = np.atleast_1d(np.asarray(x, dtype=float))
+    n = _next_pow_two(len(x))
+    f = np.fft.fft(x - np.mean(x), n=2 * n)
+    acf = np.fft.ifft(f * np.conjugate(f))[: len(x)].real
+    if acf[0] == 0:
+        return np.ones_like(acf)
+    return acf / acf[0]
+
+
+def autocorr_time(chain: np.ndarray, c: float = 5.0) -> np.ndarray:
+    """Integrated autocorrelation time per parameter.
+
+    chain: (n_steps, n_walkers, ndim).  Averages the per-walker
+    autocorrelation functions, then applies the automated windowing
+    τ(M) with M the smallest index such that M >= c·τ(M).
+    """
+    chain = np.asarray(chain, dtype=float)
+    n_steps, n_walkers, ndim = chain.shape
+    taus = np.empty(ndim)
+    for k in range(ndim):
+        acf = np.zeros(n_steps)
+        for w in range(n_walkers):
+            acf += _autocorr_1d(chain[:, w, k])
+        acf /= n_walkers
+        tau_cum = 2.0 * np.cumsum(acf) - 1.0
+        window = np.arange(len(tau_cum)) >= c * tau_cum
+        idx = np.argmax(window) if window.any() else len(tau_cum) - 1
+        taus[k] = tau_cum[idx]
+    return taus
+
+
+# --------------------------------------------------------------------------
+# result container
+# --------------------------------------------------------------------------
+
+@dataclass
+class EnsembleResult:
+    """Chain container with emcee-like accessors."""
+    chain: np.ndarray            # (n_steps, n_walkers, ndim)
+    log_prob: np.ndarray         # (n_steps, n_walkers)
+    elbo: np.ndarray             # (n_steps, n_walkers)
+    parameter_names: Sequence[str] = field(default_factory=list)
+    converged: bool = False
+    acceptance: float = float("nan")
+
+    @property
+    def iteration(self) -> int:
+        return self.chain.shape[0]
+
+    def get_chain(self, discard: int = 0, thin: int = 1, flat: bool = False):
+        c = self.chain[discard::thin]
+        if flat:
+            return c.reshape(-1, c.shape[-1])
+        return c
+
+    def get_log_prob(self, discard: int = 0, thin: int = 1,
+                     flat: bool = False):
+        lp = self.log_prob[discard::thin]
+        return lp.reshape(-1) if flat else lp
+
+    def get_autocorr_time(self, discard: int = 0, c: float = 5.0):
+        return autocorr_time(self.chain[discard:], c=c)
+
+    def save(self, filename: str):
+        np.savez_compressed(
+            filename, chain=self.chain, log_prob=self.log_prob,
+            elbo=self.elbo, converged=self.converged,
+            acceptance=self.acceptance,
+            parameter_names=np.array(list(self.parameter_names)))
+
+    @classmethod
+    def load(cls, filename: str) -> "EnsembleResult":
+        z = np.load(filename, allow_pickle=False)
+        return cls(chain=z["chain"], log_prob=z["log_prob"], elbo=z["elbo"],
+                   parameter_names=[str(s) for s in z["parameter_names"]],
+                   converged=bool(z["converged"]),
+                   acceptance=float(z["acceptance"]))
+
+
+# --------------------------------------------------------------------------
+# sampler
+# --------------------------------------------------------------------------
+
+def _prior_logpdf(priors: Dict, names, x: np.ndarray) -> np.ndarray:
+    """Σ log p(θ) per walker (host side; priors are cheap 1-D pdfs)."""
+    lp = np.zeros(x.shape[0])
+    for k, name in enumerate(names):
+        lp += priors[name].logpdf(x[:, k])
+    return lp
+
+
+def run_ensemble(gprn, priors: Dict, free_names, p0=None, niter: int = 500,
+                 nwalkers: Optional[int] = None, elbo_max_iter: int = 100,
+                 a: float = 2.0, seed: int = 0, check_every: int = 10,
+                 checkpoint: Optional[str] = None,
+                 progress: bool = False) -> EnsembleResult:
+    """Run the native ensemble sampler on a fitted ``inference`` object.
+
+    Per half-step, ONE device call evaluates the ELBO fits (≤
+    ``elbo_max_iter`` warm-started sweeps each, matching the reference's
+    max_iter=100 at meanfield.py:1218) of half the walker population.
+    """
+    free_names = list(free_names)
+    ndim = len(free_names)
+    if nwalkers is None:
+        nwalkers = 2 * ndim
+    if nwalkers % 2:
+        nwalkers += 1
+    rng = np.random.default_rng(seed)
+
+    frozen = gprn.frozen_mask
+    theta_full = gprn.get_parameters(include_frozen=True)
+    free_idx = np.where(~frozen)[0]
+
+    eng = gprn.engine
+    t = np.asarray(gprn.time, dtype=float)
+    y, yerr2 = gprn.y, gprn.yerr2
+
+    # batched device evaluation: theta (W, n_par), mu/var (W, d)
+    def _fit_one(theta, mu, var):
+        return eng.elbo_fit(theta, t, y, yerr2, mu, var, elbo_max_iter)
+
+    fit_batch = jax.jit(jax.vmap(_fit_one))
+    init_batch = jax.jit(jax.vmap(lambda th: eng.init_mu_var(th, y)))
+
+    def full_theta(x):
+        """(W, ndim) free params -> (W, n_par) full params."""
+        out = np.tile(theta_full, (x.shape[0], 1))
+        out[:, free_idx] = x
+        return out
+
+    # -- initial walker positions ------------------------------------------
+    if p0 is None:
+        x = np.array([[priors[n].rvs() for n in free_names]
+                      for _ in range(nwalkers)])
+    else:
+        p0 = np.asarray(p0, dtype=float)
+        if p0.ndim == 1:
+            sigma = []
+            for name in free_names:
+                try:
+                    sigma.append(priors[name].std())
+                except TypeError:
+                    sigma.append(priors[name].std)
+            sigma = np.array(sigma)
+            sigma[~np.isfinite(sigma)] = np.abs(
+                p0[~np.isfinite(sigma)]) * 0.1 + 1e-3
+            x = p0[None, :] + rng.standard_normal((nwalkers, ndim)) * \
+                (sigma[None, :] / 100)
+            bad = ~np.isfinite(_prior_logpdf(priors, free_names, x))
+            for i in np.where(bad)[0]:
+                x[i] = [priors[n].rvs() for n in free_names]
+        else:
+            x = p0.copy()
+
+    # per-walker warm-start caches
+    th = full_theta(x)
+    mu_cache, var_cache = (np.asarray(a_) for a_ in init_batch(th))
+
+    def logpost(xw, mu_w, var_w):
+        """Batched log-posterior; returns (logp, elbo, new_mu, new_var,
+        converged)."""
+        lp = _prior_logpdf(priors, free_names, xw)
+        th = full_theta(xw)
+        elbo, mu_o, var_o, _, conv = (np.asarray(o) for o in
+                                      fit_batch(th, jnp.asarray(mu_w),
+                                                jnp.asarray(var_w)))
+        elbo = np.where(np.isfinite(elbo), elbo, -np.inf)
+        logp = np.where(np.isfinite(lp), lp + elbo, -np.inf)
+        return logp, elbo, mu_o, var_o, conv
+
+    lp, elbo_vals, mu_new, var_new, conv = logpost(x, mu_cache, var_cache)
+    upd = conv & np.isfinite(lp)
+    mu_cache[upd] = mu_new[upd]
+    var_cache[upd] = var_new[upd]
+
+    chain = np.empty((niter, nwalkers, ndim))
+    lp_hist = np.empty((niter, nwalkers))
+    elbo_hist = np.empty((niter, nwalkers))
+    n_accept = 0
+    old_tau = np.inf
+    converged = False
+
+    half = nwalkers // 2
+    sets = [np.arange(half), np.arange(half, nwalkers)]
+
+    for it in range(niter):
+        for s in (0, 1):
+            S = sets[s]
+            C = sets[1 - s]
+            z = ((a - 1.0) * rng.random(half) + 1.0) ** 2 / a
+            partners = C[rng.integers(0, half, size=half)]
+            prop = x[partners] + z[:, None] * (x[S] - x[partners])
+
+            lp_prop, elbo_prop, mu_p, var_p, conv_p = logpost(
+                prop, mu_cache[S], var_cache[S])
+            log_accept = (ndim - 1) * np.log(z) + lp_prop - lp[S]
+            accept = np.log(rng.random(half)) < log_accept
+            n_accept += int(accept.sum())
+
+            x[S[accept]] = prop[accept]
+            lp[S[accept]] = lp_prop[accept]
+            elbo_vals[S[accept]] = elbo_prop[accept]
+            upd = accept & conv_p & np.isfinite(lp_prop)
+            mu_cache[S[upd]] = mu_p[upd]
+            var_cache[S[upd]] = var_p[upd]
+
+        chain[it] = x
+        lp_hist[it] = lp
+        elbo_hist[it] = elbo_vals
+
+        if progress and (it + 1) % 10 == 0:
+            print(f'step {it + 1}/{niter}  max logp={lp.max():.2f}',
+                  flush=True)
+
+        if checkpoint is not None and (it + 1) % 50 == 0:
+            EnsembleResult(chain[:it + 1], lp_hist[:it + 1],
+                           elbo_hist[:it + 1], free_names,
+                           False, n_accept / ((it + 1) * nwalkers)
+                           ).save(checkpoint)
+
+        # reference convergence rule (meanfield.py:1274-1284)
+        if (it + 1) % check_every == 0 and it > 1:
+            tau = autocorr_time(chain[:it + 1])
+            ok = np.all(tau * 100 < (it + 1))
+            ok &= np.all(np.abs(old_tau - tau) / tau < 0.01)
+            if ok:
+                converged = True
+                chain = chain[:it + 1]
+                lp_hist = lp_hist[:it + 1]
+                elbo_hist = elbo_hist[:it + 1]
+                break
+            old_tau = tau
+
+    acc = n_accept / (chain.shape[0] * nwalkers)
+    result = EnsembleResult(chain, lp_hist, elbo_hist, free_names,
+                            converged, acc)
+    if checkpoint is not None:
+        result.save(checkpoint)
+    return result

@@ -1,0 +1,656 @@
+"""Mean-field variational inference for GPRNs — user-facing API.
+
+Thin object shell over the functional engine in
+:mod:`gpyrn_tpu.models.gprn`, mirroring the reference class surface
+(/root/reference/gpyrn/meanfield.py:92-1416): ``inference(q, time, y1,
+y1err, ...)``, ``set_components``, ``get_parameters`` / ``set_parameters``,
+``parameters_dict``, freeze/thaw, ``ELBO`` / ``ELBOcalc``, ``nELBO``,
+``optimize``, ``mcmc``, ``predict`` / ``_Prediction``, ``sample``,
+``plot_prediction`` — plus TPU-native additions: ``elbo_grad`` (autodiff
+hyperparameter gradients through the coordinate-ascent sweeps),
+``optimize_adam`` (on-device optax loop), and a vmapped batched ELBO used
+by the native ensemble sampler.
+"""
+from __future__ import annotations
+
+from itertools import chain
+import time as time_module
+
+import numpy as np
+import jax.numpy as jnp
+
+from gpyrn_tpu.ops import kernels as covfunc
+from gpyrn_tpu.ops import means as meanfunc
+from gpyrn_tpu.models import gprn as _core
+
+__all__ = ["inference"]
+
+
+class inference:
+    """Mean-field variational inference for GPRNs
+    (Nguyen & Bonilla 2013).
+
+    Args:
+        q: number of latent node functions f(x)
+        time: time coordinates
+        *args: observed data as y1, y1error, y2, y2error, ...
+    """
+
+    def __init__(self, q: int, time, *args):
+        self.q = q
+        self.time = time
+        self.N = np.asarray(time).size
+
+        msg = 'Number of observed data arrays should be even: y1, y1error, ...'
+        assert len(args) > 0 and len(args) % 2 == 0, msg
+        msg = 'Output arrays should all have the same dimensions as time'
+        assert np.all(np.array([len(a) for a in args]) == self.N), msg
+
+        self.p = int(len(args) / 2)
+        self.qp = self.q * self.p
+        self.d = self.N * self.q * (self.p + 1)
+
+        self.tt = np.tile(time, self.p)
+        self.y = np.stack([np.asarray(a, dtype=float) for a in args[::2]])
+        self.yerr = np.stack([np.asarray(a, dtype=float) for a in args[1::2]])
+        self.yerr2 = self.yerr ** 2
+
+        self._components_set = False
+        self._frozen_mask = np.array([])
+        self._mu, self._var = None, None
+        self._mu_var_iters = 0
+        self.update_muvar_after = 50
+        self.elbo_max_iter = 5000
+        self.verbose = False
+        self._engine = None
+
+    # ------------------------------------------------------------------
+    # components & parameters
+    # ------------------------------------------------------------------
+
+    def set_components(self, nodes, weights, means, jitters):
+        """Set the GPRN components: nodes, weights, means, and jitters."""
+        if isinstance(nodes, covfunc.covFunction):
+            nodes = [nodes]
+        if len(nodes) != self.q:
+            raise ValueError('Wrong number of nodes provided, '
+                             f'expected {self.q} got {len(nodes)}')
+
+        if isinstance(weights, covfunc.covFunction):
+            weights = [weights]
+        if len(weights) != self.qp:
+            raise ValueError('Wrong number of weights provided, '
+                             f'expected {self.qp} got {len(weights)}')
+
+        if isinstance(means, (int, float, meanfunc.meanFunction)) \
+                or means is None:
+            means = [means]
+        means = [None if isinstance(m, (int, float)) or m is None else m
+                 for m in means]
+        if len(means) != self.p:
+            # the reference accepts a single mean for p outputs implicitly;
+            # broadcast to p for convenience
+            if len(means) == 1:
+                means = means * self.p
+            else:
+                raise ValueError('Wrong number of means provided, '
+                                 f'expected {self.p} got {len(means)}')
+
+        if isinstance(jitters, (int, float)):
+            jitters = [jitters]
+
+        self.nodes = nodes
+        self.weights = weights
+        self.means = means
+        self.jitters = np.array(jitters, dtype=float)
+        self._components_set = True
+        self._engine = None     # structure changed: rebuild lazily
+
+    def _require_components(self):
+        msg = 'GPRN components not set, use set_components'
+        assert self._components_set, msg
+
+    def _get_components(self, nodes=None, weights=None, means=None,
+                        jitters=None):
+        all_none = all(i is None for i in (nodes, weights, means, jitters))
+        if all_none and not self._components_set:
+            raise ValueError('GPRN components not set, use set_components')
+        nodes = self.nodes if nodes is None else nodes
+        weights = self.weights if weights is None else weights
+        means = self.means if means is None else means
+        jitters = self.jitters if jitters is None else jitters
+        return nodes, weights, means, jitters
+
+    def get_parameters(self, nodes=None, weights=None, means=None,
+                       jitters=None, include_frozen=False):
+        """Values of all GPRN parameters as a flat vector, in the order
+        nodes → weights → means → jitters."""
+        nones = [nodes is None, weights is None, means is None,
+                 jitters is None]
+        if not self._components_set and all(nones):
+            raise ValueError('Cannot get parameters. Provide arguments or '
+                             'run set_components before.')
+        if self._components_set and all(nones):
+            nodes, weights, means, jitters = self._get_components()
+        p = []
+        for node in (nodes or []):
+            p.append(np.atleast_1d(node.get_parameters()))
+        for weight in (weights or []):
+            p.append(np.atleast_1d(weight.get_parameters()))
+        for mean in (means or []):
+            if mean is not None:
+                p.append(np.atleast_1d(mean.get_parameters()))
+        for jitter in (jitters if jitters is not None else []):
+            p.append(np.array([jitter], dtype=float))
+        out = np.concatenate(p).ravel()
+        if include_frozen or not self._components_set:
+            return out
+        return out[~self.frozen_mask]
+
+    def set_parameters(self, parameters):
+        """Set values for all GPRN parameters (full vector or only the
+        non-frozen subset)."""
+        self._require_components()
+        parameters = np.atleast_1d(np.asarray(parameters, dtype=float))
+        all_parameters = self.get_parameters(include_frozen=True)
+        n_free = self.n_parameters - int(self.frozen_mask.sum())
+
+        if parameters.size == self.n_parameters:
+            parameters = parameters.copy()
+            parameters[self.frozen_mask] = all_parameters[self.frozen_mask]
+        elif parameters.size == n_free:
+            full = all_parameters.copy()
+            full[~self.frozen_mask] = parameters
+            parameters = full
+        else:
+            NP, ep, fp = parameters.size, self.n_parameters, n_free
+            msg = f'Wrong number of parameters provided: got {NP}, '
+            msg += f'expected {ep}' if ep == fp else \
+                f'expected {ep} (all) or {fp} (not frozen)'
+            raise ValueError(msg)
+
+        it = [self.nodes, self.weights,
+              [m for m in self.means if m is not None]]
+        for component in chain.from_iterable(it):
+            parameters = component.set_parameters(parameters)
+        self.jitters = np.atleast_1d(np.asarray(parameters, dtype=float))
+
+    @property
+    def n_parameters(self):
+        """Total number of parameters."""
+        self._require_components()
+        n = 0
+        it = [self.nodes, self.weights,
+              [m for m in self.means if m is not None]]
+        for component in chain.from_iterable(it):
+            n += component.pars.size
+        return n + self.jitters.size
+
+    @property
+    def parameters_dict(self):
+        """Dictionary with parameter names and values, keyed like
+        'node1.theta', 'weight2.ell', 'mean1.c', 'jitter1'."""
+        self._require_components()
+        p = {}
+        for i, node in enumerate(self.nodes, start=1):
+            for par, val in zip(node._param_names, node.pars):
+                p[f'node{i}.{par}'] = val
+        for i, weight in enumerate(self.weights, start=1):
+            for par, val in zip(weight._param_names, weight.pars):
+                p[f'weight{i}.{par}'] = val
+        mean_i = 0
+        for mean in self.means:
+            mean_i += 1
+            if mean is None:
+                continue
+            for par, val in zip(mean._param_names, mean.pars):
+                p[f'mean{mean_i}.{par}'] = val
+        for i, jit in enumerate(self.jitters, start=1):
+            p[f'jitter{i}'] = jit
+        return p
+
+    # ------------------------------------------------------------------
+    # freeze / thaw
+    # ------------------------------------------------------------------
+
+    def freeze_parameter(self, index=None, name=None):
+        """Freeze (do not fit) a parameter by index or name; a '*' in
+        `name` freezes every parameter whose name contains the rest."""
+        self._set_frozen(index, name, True)
+
+    def thaw_parameter(self, index=None, name=None):
+        """Thaw (free) a parameter by index or name ('*' globs)."""
+        self._set_frozen(index, name, False)
+
+    def _set_frozen(self, index, name, value):
+        self.frozen_mask  # materialize
+        if index is None and name is None:
+            raise ValueError('Provide either index or name')
+        if name is None:
+            self._frozen_mask[index] = value
+        else:
+            names = list(self.parameters_dict.keys())
+            if '*' in name:
+                frag = name.replace('*', '')
+                for i, known in enumerate(names):
+                    if frag in known:
+                        self._frozen_mask[i] = value
+            else:
+                msg = f'Name "{name}" not found in parameters_dict'
+                assert name in names, msg
+                self._frozen_mask[names.index(name)] = value
+
+    def freeze_all_parameters(self):
+        """Freeze all parameters."""
+        self._frozen_mask = np.ones(self.frozen_mask.size, dtype=bool)
+
+    def thaw_all_parameters(self):
+        """Thaw all parameters."""
+        self._frozen_mask = np.zeros(self.frozen_mask.size, dtype=bool)
+
+    fix_parameter = freeze_parameter
+    fix_all_parameters = freeze_all_parameters
+    free_parameter = thaw_parameter
+    free_all_parameters = thaw_all_parameters
+
+    @property
+    def frozen_mask(self):
+        """Boolean mask of frozen parameters."""
+        self._require_components()
+        if self._frozen_mask.size == 0:
+            self._frozen_mask = np.full(self.n_parameters, False, dtype=bool)
+        return self._frozen_mask
+
+    @frozen_mask.setter
+    def frozen_mask(self, mask):
+        raise NotImplementedError(
+            'Do not set frozen_mask, use thaw_parameter/freeze_parameter')
+
+    def _apply_vars_selection(self, vars):
+        """The `vars=` freeze/thaw sugar of optimize()/mcmc()
+        (reference meanfield.py:1132-1147)."""
+        if vars is None:
+            return
+        if isinstance(vars, str):
+            if '-' in vars:
+                vars = vars.replace('-', '')
+                self.thaw_parameter(name='*')
+                self.freeze_parameter(name=vars)
+            else:
+                self.freeze_parameter(name='*')
+                self.thaw_parameter(name=vars)
+        elif isinstance(vars, list):
+            self.freeze_parameter(name='*')
+            for var in vars:
+                self.thaw_parameter(name=var)
+        else:
+            raise ValueError(f'`vars` should be str or list, got {type(vars)}')
+
+    # ------------------------------------------------------------------
+    # engine plumbing
+    # ------------------------------------------------------------------
+
+    @property
+    def engine(self) -> _core.Engine:
+        """The jitted function bundle for the current model structure."""
+        self._require_components()
+        if self._engine is None:
+            spec = _core.spec_from_components(self.nodes, self.weights,
+                                              self.means, self.N)
+            core_maps = None
+            if any(k.has_core_map() for k in
+                   list(self.nodes) + list(self.weights)):
+                core_maps = (
+                    tuple(k.core_params_from if k.has_core_map() else None
+                          for k in self.nodes),
+                    tuple(k.core_params_from if k.has_core_map() else None
+                          for k in self.weights),
+                )
+            self._engine = _core.make_engine(spec, core_maps)
+        return self._engine
+
+    def _theta(self, nodes=None, weights=None, means=None, jitters=None):
+        nodes, weights, means, jitters = self._get_components(
+            nodes, weights, means, jitters)
+        return _core.pack_parameters(nodes, weights, means, jitters)
+
+    def _resolve_mu_var(self, mu, var, theta):
+        eng = self.engine
+        if mu is None or var is None:
+            mu = var = 'init'
+        if isinstance(mu, str) and (mu == 'previous' or var == 'previous'):
+            if self._mu is not None:
+                return np.asarray(self._mu).ravel(), \
+                    np.asarray(self._var).ravel()
+            mu0, var0 = eng.init_mu_var(theta, self.y)
+            return mu0, var0
+        if isinstance(mu, str) and mu == 'random' and var == 'random':
+            return self._randomMuVar()
+        if isinstance(mu, str) and mu == 'init' and var == 'init':
+            mu0, var0 = eng.init_mu_var(theta, self.y)
+            return mu0, var0
+        return np.asarray(mu).ravel(), np.asarray(var).ravel()
+
+    def _initMuVar(self, nodes, weights, jitters):
+        theta = self._theta(nodes=nodes, weights=weights, jitters=jitters)
+        mu, var = self.engine.init_mu_var(theta, self.y)
+        return np.asarray(mu), np.asarray(var)
+
+    def _randomMuVar(self):
+        mu = np.random.randn(self.d)
+        var = np.random.rand(self.d)
+        return mu, var
+
+    # ------------------------------------------------------------------
+    # ELBO
+    # ------------------------------------------------------------------
+
+    @property
+    def ELBO(self):
+        """The evidence lower bound for the GPRN."""
+        return self.ELBOcalc()[0]
+
+    def ELBOcalc(self, nodes=None, weights=None, means=None, jitters=None,
+                 max_iter=None, mu=None, var=None):
+        """Run the coordinate-ascent fit of the variational parameters and
+        return ``(ELBO, mu, var, iterNumber)``.
+
+        mu/var may be arrays or 'init' | 'random' | 'previous'
+        (reference meanfield.py:561-649)."""
+        theta = self._theta(nodes, weights, means, jitters)
+        mu0, var0 = self._resolve_mu_var(mu, var, theta)
+        if max_iter is None:
+            max_iter = 10000
+
+        elbo, mu_out, var_out, n_iter, converged = self.engine.elbo_fit(
+            theta, np.asarray(self.time, dtype=float), self.y, self.yerr2,
+            mu0, var0, max_iter)
+        elbo = float(elbo)
+        mu_out = np.asarray(mu_out)
+        var_out = np.asarray(var_out)
+        if bool(converged):
+            # the reference caches the variational state only on
+            # convergence (meanfield.py:643-646)
+            self._mu = mu_out
+            self._var = var_out
+        else:
+            print('\nMax iterations reached')
+        return elbo, mu_out, var_out, int(n_iter)
+
+    def nELBO(self, parameters, max_iter=None):
+        """Negative ELBO at the given hyperparameters (warm-started from
+        the cached variational state)."""
+        self._require_components()
+        self.set_parameters(parameters)
+        start = time_module.time()
+        elbo, _, _, _ = self.ELBOcalc(max_iter=max_iter,
+                                      mu='previous', var='previous')
+        end = time_module.time()
+        if self.verbose:
+            spaces = 20 * ' '
+            print(f'ELBO={elbo:7.2f} (took {1e3 * (end - start):5.2f} ms)'
+                  f'{spaces}', end='\r', flush=True)
+        return -elbo
+
+    # -- TPU-native gradient surface ------------------------------------
+
+    def elbo_grad(self, parameters=None, n_sweeps=30, mu=None, var=None):
+        """ELBO and its gradient w.r.t. all hyperparameters, by autodiff
+        through ``n_sweeps`` coordinate-ascent sweeps (one fused jitted
+        computation — the reference has no gradient path at all)."""
+        self._require_components()
+        if parameters is not None:
+            self.set_parameters(parameters)
+        theta = self._theta()
+        if mu is None:
+            mu, var = 'previous', 'previous'
+        mu0, var0 = self._resolve_mu_var(mu, var, theta)
+        value, grad = self.engine.elbo_value_and_grad(
+            theta, np.asarray(self.time, dtype=float), self.y, self.yerr2,
+            mu0, var0, n_sweeps)
+        return float(value), np.asarray(grad)
+
+    # ------------------------------------------------------------------
+    # optimization
+    # ------------------------------------------------------------------
+
+    def optimize(self, vars=None, **kwargs):
+        """Maximize the ELBO over the (non-frozen) hyperparameters with
+        scipy (default Nelder-Mead, like the reference meanfield.py:1149)."""
+        from scipy.optimize import minimize
+        self._apply_vars_selection(vars)
+        kwargs.setdefault('method', 'Nelder-Mead')
+        res = minimize(self.nELBO, self.get_parameters(), **kwargs)
+        self.set_parameters(res.x)
+        return res
+
+    def optimize_adam(self, vars=None, n_steps=200, learning_rate=5e-2,
+                      n_sweeps=30, transform='log', callback=None):
+        """TPU-native gradient optimizer: optax Adam on the negative ELBO,
+        with gradients through the coordinate-ascent sweeps.
+
+        ``transform='log'`` optimizes log-parameters (all GPRN amplitude /
+        length-scale / jitter parameters are positive), which is both
+        better conditioned and keeps parameters positive.
+        """
+        import optax
+        self._apply_vars_selection(vars)
+        free = ~self.frozen_mask
+        theta_full = self.get_parameters(include_frozen=True)
+
+        eng = self.engine
+        t = np.asarray(self.time, dtype=float)
+        theta0 = self._theta()
+        mu0, var0 = self._resolve_mu_var('previous', 'previous', theta0)
+        mu0 = jnp.asarray(mu0)
+        var0 = jnp.asarray(var0)
+        free_j = jnp.asarray(free)
+        base = jnp.asarray(theta_full)
+
+        use_log = transform == 'log'
+
+        def to_opt(x):
+            return jnp.log(x) if use_log else x
+
+        def from_opt(z):
+            return jnp.exp(z) if use_log else z
+
+        def loss(z):
+            theta = jnp.where(free_j, from_opt(z), base)
+            return -eng.elbo_fixed(theta, t, self.y, self.yerr2,
+                                   mu0, var0, n_sweeps)
+
+        z = to_opt(jnp.where(free_j, jnp.asarray(theta_full),
+                             jnp.ones_like(base)))
+        opt = optax.adam(learning_rate)
+        state = opt.init(z)
+
+        import jax as _jax
+
+        @_jax.jit
+        def update(z, state):
+            v, g = _jax.value_and_grad(loss)(z)
+            updates, state = opt.update(g, state)
+            return optax.apply_updates(z, updates), state, v
+
+        best_v, best_z = np.inf, z
+        for step in range(n_steps):
+            z, state, v = update(z, state)
+            v = float(v)
+            if v < best_v:
+                best_v, best_z = v, z
+            if callback is not None:
+                callback(step, v)
+
+        theta = np.asarray(jnp.where(free_j, from_opt(best_z), base))
+        self.set_parameters(theta)
+        # refresh the variational cache at the optimum
+        elbo, *_ = self.ELBOcalc(mu='previous', var='previous')
+        return {'fun': best_v, 'x': theta[free], 'elbo': elbo,
+                'n_steps': n_steps}
+
+    # ------------------------------------------------------------------
+    # MCMC
+    # ------------------------------------------------------------------
+
+    def mcmc(self, priors, p0=None, vars=None, niter=500, sampler='native',
+             checkpoint=None, **kwargs):
+        """Sample the hyperparameter posterior using the ELBO as the
+        log-likelihood surrogate (reference meanfield.py:1154-1286).
+
+        ``sampler='native'`` uses the built-in vmapped affine-invariant
+        ensemble sampler (all walkers' ELBO fits batched on device);
+        ``sampler='emcee'`` uses emcee if installed (host parity path).
+        """
+        from gpyrn_tpu.inference.ensemble import run_ensemble, EnsembleResult
+        self._require_components()
+        self._apply_vars_selection(vars)
+
+        all_names = np.array(list(self.parameters_dict.keys()))
+        free_names = all_names[~self.frozen_mask]
+        ndim = len(free_names)
+        nwalkers = kwargs.pop('nwalkers', 2 * ndim)
+
+        missing = [n for n in free_names if n not in priors]
+        if missing:
+            raise ValueError(f'missing priors for parameters: {missing}')
+
+        if sampler == 'emcee':
+            return self._mcmc_emcee(priors, free_names, p0, niter, **kwargs)
+
+        return run_ensemble(self, priors, free_names, p0=p0, niter=niter,
+                            nwalkers=nwalkers, checkpoint=checkpoint,
+                            **kwargs)
+
+    def _mcmc_emcee(self, priors, free_names, p0, niter, **kwargs):
+        try:
+            from emcee import EnsembleSampler, backends
+            from emcee.utils import sample_ellipsoid
+        except ImportError as e:
+            raise ImportError(
+                "emcee is not installed; use sampler='native'") from e
+
+        def prior_rvs():
+            return np.array([priors[name].rvs() for name in free_names])
+
+        def logprior(parameters):
+            return float(sum(priors[name].logpdf(par)
+                             for par, name in zip(parameters, free_names)))
+
+        def logposterior(parameters):
+            lp = logprior(parameters)
+            if np.isneginf(lp):
+                return -np.inf, -np.inf
+            elbo = -self.nELBO(parameters, max_iter=100)
+            return lp + elbo, elbo
+
+        ndim = len(free_names)
+        nwalkers = 2 * ndim
+        if p0 is None:
+            p0 = np.array([prior_rvs() for _ in range(nwalkers)])
+        else:
+            sigma = []
+            for name in free_names:
+                try:
+                    sigma.append(priors[name].std())
+                except TypeError:
+                    sigma.append(priors[name].std)
+            p0 = sample_ellipsoid(p0, np.diag(sigma) / 100, size=nwalkers)
+            for i, pw in enumerate(p0):
+                if np.isneginf(logprior(pw)):
+                    p0[i] = prior_rvs()
+
+        be = backends.HDFBackend(kwargs.pop('filename', 'gprn.h5'))
+        be.reset(nwalkers, ndim)
+        smplr = EnsembleSampler(nwalkers, ndim, logposterior, backend=be)
+
+        from gpyrn_tpu.inference.ensemble import autocorr_time
+        old_tau = np.inf
+        for _ in smplr.sample(p0, iterations=niter, progress=False):
+            if smplr.iteration % 10:
+                continue
+            tau = smplr.get_autocorr_time(tol=0)
+            converged = np.all(tau * 100 < smplr.iteration)
+            converged &= np.all(np.abs(old_tau - tau) / tau < 0.01)
+            if converged:
+                break
+            old_tau = tau
+        return smplr
+
+    # ------------------------------------------------------------------
+    # prediction & sampling
+    # ------------------------------------------------------------------
+
+    def _Prediction(self, nodes=None, weights=None, means=None, jitters=None,
+                    tstar=None, mu=None, var=None, separate=False):
+        """Posterior predictive of the GPRN per output
+        (reference meanfield.py:1289-1379)."""
+        nodes, weights, means, jitters = self._get_components(
+            nodes, weights, means, jitters)
+        if tstar is None:
+            tstar = self.time
+        theta = _core.pack_parameters(nodes, weights, means, jitters)
+        if mu is None and var is None:
+            if self._mu is None and self._var is None:
+                mu, var = self.engine.init_mu_var(theta, self.y)
+            else:
+                mu, var = self._mu, self._var
+
+        mean_out, var_out, n_pred, w_pred = self.engine.predict(
+            theta, np.asarray(self.time, dtype=float), self.y, self.yerr2,
+            np.asarray(mu).ravel(), np.asarray(var).ravel(),
+            np.asarray(tstar, dtype=float))
+        mean_out = np.asarray(mean_out)
+        var_out = np.asarray(var_out)
+        if separate:
+            sep = np.array([np.asarray(n_pred), np.asarray(w_pred)],
+                           dtype=object)
+            return mean_out, var_out, sep
+        return mean_out, var_out
+
+    def predict(self, tstar=None, nn=1000):
+        """GPRN prediction; returns (tstar, mean, std, (nodes, weights))."""
+        if tstar is None:
+            mi, ma = np.min(self.time), np.max(self.time)
+            tptp = np.ptp(self.time)
+            tstar = np.linspace(mi - 0.2 * tptp, ma + 0.2 * tptp, nn)
+        aa, vv, bb = self._Prediction(tstar=tstar, separate=True)
+        ss = np.sqrt(vv)
+        return tstar, aa, ss, bb
+
+    def _sample_from_gp(self, kernel, time=None, rng=None):
+        """A random function drawn from a kernel's GP prior."""
+        from gpyrn_tpu.ops.linalg import PREDICT_NUGGET
+        rng = np.random.default_rng() if rng is None else rng
+        if time is None:
+            time = self.time
+        time = np.asarray(time, dtype=float)
+        if covfunc.is_nonstationary(kernel.structure):
+            K = np.asarray(covfunc.evaluate(kernel.structure,
+                                            kernel.core_params(),
+                                            t1=time[:, None],
+                                            t2=time[None, :]))
+        else:
+            r = time[:, None] - time[None, :]
+            K = np.asarray(covfunc.evaluate(kernel.structure,
+                                            kernel.core_params(), r=r))
+            K = K + PREDICT_NUGGET * np.eye(time.size)
+        # eigendecomposition sampling tolerates semi-definite K (the
+        # reference relied on scipy's allow_singular=True)
+        w, V = np.linalg.eigh(K)
+        w = np.clip(w, 0.0, None)
+        return V @ (np.sqrt(w) * rng.standard_normal(time.size))
+
+    def sample(self, time=None, rng=None):
+        """Prior samples of all node and weight functions."""
+        nodes, weights, _, _ = self._get_components()
+        node_samples = np.array([self._sample_from_gp(n, time, rng)
+                                 for n in nodes])
+        weight_samples = np.array([self._sample_from_gp(w, time, rng)
+                                   for w in weights])
+        return node_samples, weight_samples
+
+    def plot_prediction(self, nn=1000, tstar=None, over=0.2, title=None):
+        from gpyrn_tpu.utils.plots import plot_prediction
+        return plot_prediction(self, nn=nn, tstar=tstar, over=over,
+                               title=title)

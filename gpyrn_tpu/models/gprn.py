@@ -1,0 +1,454 @@
+"""GPRN mean-field variational inference — functional core.
+
+TPU-native re-design of the reference engine
+(/root/reference/gpyrn/meanfield.py).  The reference runs a Python
+``while`` loop where every coordinate-ascent sweep does q + q·p dense
+N×N solves in NumPy with per-node/per-weight Python loops, crossing the
+host↔device boundary several times per iteration.  Here the *entire* fit
+— kernel-matrix construction, batched Cholesky factorizations, the
+closed-form sweep (eqs. 16–19 of Nguyen & Bonilla 2013), all three ELBO
+terms and the convergence test — is one jitted ``lax.while_loop``.  The
+sweep is fully batched over the q-node and (q × p)-weight lattice: the
+reference's per-j "delete-j" residuals use only pre-sweep values, so both
+update stages are embarrassingly parallel and become einsums + batched
+Cholesky solves on the MXU.
+
+Numerical-parity notes (all verified against the reference line by line):
+
+* training nugget 1e-6, prediction nugget 1.25e-12 (meanfield.py:433,452);
+* the expected-log-prior accumulates ``sumSigmaF`` *cumulatively* over
+  nodes (meanfield.py:1039-1041) — node j's trace term includes
+  Σ_{k≤j} Σ_f^{(k)};
+* the expected-log-prior reinterprets the (p,q,N) weight means as (q,p,N)
+  with a raw reshape, not a transpose (meanfield.py:1021) — for p>1 and
+  q>1 this scrambles pairings; reproduced verbatim;
+* the expected-log-likelihood's quadratic term uses the *raw* data
+  ``self.y``, not the mean-subtracted vector handed to the sweep
+  (meanfield.py:940);
+* the ELBO is divided by q (meanfield.py:709);
+* convergence: relative std of the last three ELBO values < 1e-3
+  (meanfield.py:640-646), first checked after sweep 4;
+* the heuristic mu/var initialisation uses only the first p weight
+  amplitudes and flattens (q,p,N)-ordered weight means into the engine's
+  (p,q,N) layout with a raw reshape (meanfield.py:491-510) — reproduced.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax, vmap
+from jax.scipy.linalg import cho_solve
+
+from gpyrn_tpu.ops import kernels as kernels_mod
+from gpyrn_tpu.ops import means as means_mod
+from gpyrn_tpu.ops.linalg import (PREDICT_NUGGET, TRAIN_NUGGET,
+                                  cross_kernel_matrix, kernel_matrix)
+
+__all__ = [
+    "GPRNSpec", "spec_from_components", "pack_parameters",
+    "unpack_parameters", "make_engine", "Engine",
+]
+
+
+class GPRNSpec(NamedTuple):
+    """Static description of a GPRN model (hashable; compilation key).
+
+    node_structs:   q kernel structure trees
+    weight_structs: q·p kernel structure trees, node-major ([j*p + i])
+    mean_structs:   p mean structure trees (None = zero mean)
+    n_node_pars / n_weight_pars / n_mean_pars: trainable parameter counts
+    """
+    q: int
+    p: int
+    N: int
+    node_structs: Tuple
+    weight_structs: Tuple
+    mean_structs: Tuple
+    n_node_pars: Tuple[int, ...]
+    n_weight_pars: Tuple[int, ...]
+    n_mean_pars: Tuple[int, ...]
+
+    @property
+    def n_parameters(self) -> int:
+        return (sum(self.n_node_pars) + sum(self.n_weight_pars) +
+                sum(self.n_mean_pars) + self.p)
+
+    @property
+    def d(self) -> int:
+        return self.N * self.q * (self.p + 1)
+
+
+def spec_from_components(nodes, weights, means, N: int) -> "GPRNSpec":
+    """Build a spec from OO kernel/mean objects."""
+    q = len(nodes)
+    p = len(weights) // q
+    mean_structs = tuple(None if m is None or isinstance(m, (int, float))
+                         else m.structure for m in means)
+    n_mean = tuple(0 if s is None else means_mod.n_params(s)
+                   for s in mean_structs)
+    return GPRNSpec(
+        q=q, p=p, N=int(N),
+        node_structs=tuple(n.structure for n in nodes),
+        weight_structs=tuple(w.structure for w in weights),
+        mean_structs=mean_structs,
+        n_node_pars=tuple(n.pars.size for n in nodes),
+        n_weight_pars=tuple(w.pars.size for w in weights),
+        n_mean_pars=n_mean,
+    )
+
+
+def pack_parameters(nodes, weights, means, jitters) -> np.ndarray:
+    """Flatten all trainable parameters in reference order
+    nodes → weights → means → jitters (meanfield.py:180-221)."""
+    chunks = [np.atleast_1d(np.asarray(k.pars, dtype=float))
+              for k in list(nodes) + list(weights)]
+    for m in means:
+        if m is not None and not isinstance(m, (int, float)):
+            chunks.append(np.atleast_1d(np.asarray(m.pars, dtype=float)))
+    chunks.append(np.atleast_1d(np.asarray(jitters, dtype=float)))
+    return np.concatenate(chunks)
+
+
+def unpack_parameters(spec: GPRNSpec, theta):
+    """Split a flat parameter vector into per-component slices
+    (node params, weight params, mean params, jitters).  Pure jax."""
+    theta = jnp.asarray(theta)
+    pos = 0
+    node_p = []
+    for n in spec.n_node_pars:
+        node_p.append(theta[pos:pos + n])
+        pos += n
+    weight_p = []
+    for n in spec.n_weight_pars:
+        weight_p.append(theta[pos:pos + n])
+        pos += n
+    mean_p = []
+    for n in spec.n_mean_pars:
+        mean_p.append(theta[pos:pos + n])
+        pos += n
+    jitters = theta[pos:pos + spec.p]
+    return node_p, weight_p, mean_p, jitters
+
+
+# --------------------------------------------------------------------------
+# engine factory
+# --------------------------------------------------------------------------
+
+class Engine(NamedTuple):
+    """Bundle of jitted functions for one model structure.
+
+    All functions close over the static structure; parameters/data are
+    traced arguments, so hyperparameter gradients flow end to end.
+    """
+    spec: GPRNSpec
+    init_mu_var: Callable      # (theta, y)                  -> (mu, var)
+    elbo_fit: Callable         # (theta, t, y, yerr2, mu, var, max_iter)
+    #                          -> (elbo, mu, var, n_iter, converged)
+    elbo_fixed: Callable       # (theta, t, y, yerr2, mu, var, n_sweeps)
+    #                          -> elbo   (differentiable; scan)
+    elbo_value_and_grad: Callable  # same args -> (elbo, delbo/dtheta)
+    predict: Callable          # (theta, t, y, yerr2, mu, var, tstar)
+    #                          -> (means, vars, node_pred, weight_pred)
+    sweep_once: Callable       # single ELBOaux step (for tests/inspection)
+
+
+@functools.lru_cache(maxsize=128)
+def make_engine(spec: GPRNSpec,
+                core_maps: Optional[Tuple] = None) -> Engine:
+    """Create the jitted function bundle for a model structure.
+
+    ``core_maps`` optionally carries per-kernel (trainable → core)
+    parameter maps for kernels with static extras (QuasiHarmonicPeriodic);
+    it must be a hashable tuple of callables or None.
+    """
+    q, p, N = spec.q, spec.p, spec.N
+    d = spec.d
+
+    node_maps = weight_maps = None
+    if core_maps is not None:
+        node_maps, weight_maps = core_maps
+
+    def _core(params_list, maps):
+        if maps is None:
+            return params_list
+        return [m(pp) if m is not None else pp
+                for m, pp in zip(maps, params_list)]
+
+    # ---- model-building helpers -------------------------------------------
+
+    def _build_matrices(theta, t):
+        node_p, weight_p, mean_p, jitters = unpack_parameters(spec, theta)
+        node_c = _core(node_p, node_maps)
+        weight_c = _core(weight_p, weight_maps)
+        Kf = jnp.stack([kernel_matrix(s, cp, t, TRAIN_NUGGET)
+                        for s, cp in zip(spec.node_structs, node_c)])
+        Kw_flat = jnp.stack([kernel_matrix(s, cp, t, TRAIN_NUGGET)
+                             for s, cp in zip(spec.weight_structs, weight_c)])
+        Kw = Kw_flat.reshape(q, p, N, N)
+        return Kf, Kw, jitters
+
+    def _mean_values(theta, t):
+        _, _, mean_p, _ = unpack_parameters(spec, theta)
+        t = jnp.asarray(t)
+        rows = []
+        for s, mp in zip(spec.mean_structs, mean_p):
+            if s is None:
+                rows.append(jnp.zeros(t.shape, dtype=t.dtype))
+            else:
+                rows.append(means_mod.evaluate(s, mp, t))
+        return jnp.stack(rows)          # (p, n_t)
+
+    # ---- heuristic initialisation (parity with meanfield.py:491-510) ------
+
+    def init_mu_var(theta, y):
+        node_p, weight_p, _, jitters = unpack_parameters(spec, theta)
+        a1 = jnp.stack([pp[0] for pp in node_p])             # (q,)
+        a2 = jnp.stack([pp[0] for pp in weight_p[:p]])       # first p only
+        y = jnp.asarray(y)                                   # (p, N)
+        ay = jnp.abs(y)
+        # mean1[j] = mean_i sqrt(|y_i| a1_j / a2_i) sign(y_i)
+        m1 = jnp.sqrt(ay[None, :, :] * a1[:, None, None] /
+                      a2[None, :, None]) * jnp.sign(y)[None]  # (q,p,N)
+        mean1 = jnp.mean(m1, axis=1)                          # (q,N)
+        # mean2[j,i] = sqrt(|y_i| a2_i / a1_j)
+        mean2 = jnp.sqrt(ay[None, :, :] * a2[None, :, None] /
+                         a1[:, None, None])                   # (q,p,N)
+        var1 = jnp.full((q, N), jnp.mean(jitters))
+        var2 = jnp.broadcast_to(jitters[None, :, None], (q, p, N))
+        mu = jnp.concatenate([mean1.ravel(), mean2.ravel()])
+        var = jnp.concatenate([var1.ravel(), var2.ravel()])
+        return mu, var
+
+    # ---- one coordinate-ascent sweep + ELBO (ELBOaux) ----------------------
+
+    def _u_split(u):
+        muF = u[:q * N].reshape(q, N)
+        muW = u[q * N:].reshape(p, q, N)
+        return muF, muW
+
+    def _chol_batched(K):
+        return jnp.linalg.cholesky(K)
+
+    def _sweep(Kf, Lf, Kw, Lw, y_c, y_raw, variance, muF, varF, muW, varW):
+        """One ELBOaux step.  Shapes: Kf (q,N,N), Kw (q,p,N,N),
+        y_* (p,N), variance (p,N), muF/varF (q,N), muW/varW (p,q,N)."""
+        # -- node update (eqs. 16-17) --
+        dv = jnp.sum((muW * muW + varW) / variance[:, None, :], axis=0)
+        Af = Kf + vmap(jnp.diag)(1.0 / dv)
+        Laf = _chol_batched(Af)
+        # K A^{-1} K = B^T B with B = L^{-1} K
+        Bf = vmap(lambda l, k: lax.linalg.triangular_solve(
+            l, k, left_side=True, lower=True))(Laf, Kf)
+        sigma_f = Kf - jnp.einsum("qki,qkj->qij", Bf, Bf)
+        total = jnp.einsum("pqn,qn->pn", muW, muF)
+        resid = (y_c[None, :, :] - total[None, :, :] +
+                 muW.transpose(1, 0, 2) * muF[:, None, :])       # (q,p,N)
+        pred = jnp.einsum("qpn,pqn->qn", resid,
+                          muW / variance[:, None, :])
+        mu_f = jnp.einsum("qij,qj->qi", sigma_f, pred)
+
+        # -- weight update (eqs. 18-19); uses NEW mu_f, OLD muW --
+        dSf = jnp.diagonal(sigma_f, axis1=1, axis2=2)            # (q,N)
+        dv2 = mu_f * mu_f + dSf                                  # (q,N)
+        ratio = variance[None, :, :] / dv2[:, None, :]           # (q,p,N)
+        Aw = Kw + vmap(vmap(jnp.diag))(ratio)
+        Law = _chol_batched(Aw)
+        Bw = vmap(vmap(lambda l, k: lax.linalg.triangular_solve(
+            l, k, left_side=True, lower=True)))(Law, Kw)
+        sigma_w = Kw - jnp.einsum("qpki,qpkj->qpij", Bw, Bw)
+        total2 = jnp.einsum("pqn,qn->pn", muW, mu_f)
+        resid2 = (y_c[None, :, :] - total2[None, :, :] +
+                  muW.transpose(1, 0, 2) * mu_f[:, None, :])     # (q,p,N)
+        pred2 = resid2 * mu_f[:, None, :] / variance[None, :, :]
+        mu_w_qp = jnp.einsum("qpij,qpj->qpi", sigma_w, pred2)    # (q,p,N)
+        mu_w = mu_w_qp.transpose(1, 0, 2)                        # (p,q,N)
+        dSw = jnp.diagonal(sigma_w, axis1=2, axis2=3)            # (q,p,N)
+
+        # -- entropy (meanfield.py:1069-1093) --
+        Lsf = _chol_batched(sigma_f)
+        Lsw = _chol_batched(sigma_w)
+        ent = (jnp.sum(jnp.log(jnp.diagonal(Lsf, axis1=1, axis2=2))) +
+               jnp.sum(jnp.log(jnp.diagonal(Lsw, axis1=2, axis2=3))))
+        ent = ent + 0.5 * q * (p + 1) * N * (1 + jnp.log(2 * jnp.pi))
+
+        # -- expected log prior (meanfield.py:992-1067) --
+        logdet_f = jnp.sum(jnp.log(jnp.diagonal(Lf, axis1=1, axis2=2)),
+                           axis=1)                               # (q,)
+        alpha_f = vmap(lambda l, m: cho_solve((l, True), m))(Lf, mu_f)
+        muKmu_f = jnp.einsum("qn,qn->q", mu_f, alpha_f)
+        cum_sigma = jnp.cumsum(sigma_f, axis=0)  # reference quirk :1039
+        tr_f = vmap(lambda l, s: jnp.trace(cho_solve((l, True), s)))(
+            Lf, cum_sigma)
+        first_term = jnp.sum(-logdet_f - 0.5 * (muKmu_f + tr_f))
+
+        # reference quirk (meanfield.py:1021): raw reshape (p,q,N)->(q,p,N)
+        muW_q = mu_w.reshape(q, p, N)
+        Lw_f = Lw.reshape(q * p, N, N)
+        muW_f = muW_q.reshape(q * p, N)
+        sig_w_f = sigma_w.reshape(q * p, N, N)
+        alpha_w = vmap(lambda l, m: cho_solve((l, True), m))(Lw_f, muW_f)
+        muKmu_w = jnp.einsum("an,an->a", muW_f, alpha_w)
+        tr_w = vmap(lambda l, s: jnp.trace(cho_solve((l, True), s)))(
+            Lw_f, sig_w_f)
+        logdet_w = jnp.sum(jnp.log(jnp.diagonal(Lw_f, axis1=1, axis2=2)),
+                           axis=1)
+        second_term = jnp.sum(-logdet_w - 0.5 * (muKmu_w + tr_w))
+        logp = first_term + second_term \
+            - 0.5 * N * q * (p + 1) * jnp.log(2 * jnp.pi)
+
+        # -- expected log likelihood (meanfield.py:895-990) --
+        logl = -0.5 * jnp.sum(jnp.log(2 * jnp.pi * variance))
+        omega_nu = jnp.einsum("pqn,qn->pn", mu_w, mu_f)
+        # reference quirk (meanfield.py:940): uses raw y, not y - mean
+        res = y_raw - omega_nu
+        logl = logl - 0.5 * jnp.sum(res * res / variance)
+        dSw_pq = dSw  # (q,p,N)
+        quad = (dSf[:, None, :] * (mu_w.transpose(1, 0, 2) ** 2) +
+                dSw_pq * (mu_f[:, None, :] ** 2) +
+                dSf[:, None, :] * dSw_pq) / variance[None, :, :]
+        logl = logl - 0.5 * jnp.sum(quad)
+
+        elbo = (logl + logp + ent) / q
+        return elbo, mu_f, dSf, mu_w, dSw.transpose(1, 0, 2)
+
+    # ---- full fit: while_loop with reference stopping rule -----------------
+
+    def _prepare(theta, t, y, yerr2):
+        Kf, Kw, jitters = _build_matrices(theta, t)
+        Lf = _chol_batched(Kf)
+        Lw = _chol_batched(Kw)
+        m = _mean_values(theta, t)
+        y = jnp.asarray(y)
+        y_c = y - m
+        variance = jitters[:, None] ** 2 + jnp.asarray(yerr2)
+        return Kf, Lf, Kw, Lw, y_c, y, variance
+
+    def elbo_fit(theta, t, y, yerr2, mu0, var0, max_iter=10000):
+        Kf, Lf, Kw, Lw, y_c, y_raw, variance = _prepare(theta, t, y, yerr2)
+        muF0, muW0 = _u_split(jnp.asarray(mu0).ravel())
+        varF0, varW0 = _u_split(jnp.asarray(var0).ravel())
+
+        def body(state):
+            muF, varF, muW, varW, _, hist, it, done = state
+            elbo, mu_f, varf, mu_w, varw = _sweep(
+                Kf, Lf, Kw, Lw, y_c, y_raw, variance, muF, varF, muW, varW)
+            hist = jnp.concatenate([hist[1:], jnp.array([elbo])])
+            it = it + 1
+            mean3 = jnp.mean(hist)
+            crit = jnp.abs(jnp.std(hist) / mean3)
+            done = (it > 3) & (crit < 1e-3) & (crit != 0)
+            return mu_f, varf, mu_w, varw, elbo, hist, it, done
+
+        def cond(state):
+            *_, it, done = state
+            return (~done) & (it < max_iter)
+
+        init = (muF0, varF0, muW0, varW0, jnp.array(0.0, muF0.dtype),
+                jnp.full(3, jnp.inf, dtype=muF0.dtype),
+                jnp.array(0, jnp.int32), jnp.array(False))
+        muF, varF, muW, varW, elbo, _, it, done = lax.while_loop(
+            cond, body, init)
+        mu = jnp.concatenate([muF.ravel(), muW.ravel()])
+        var = jnp.concatenate([varF.ravel(), varW.ravel()])
+        return elbo, mu, var, it, done
+
+    def sweep_once(theta, t, y, yerr2, mu0, var0):
+        """Single ELBOaux step (reference meanfield.py:651-710)."""
+        Kf, Lf, Kw, Lw, y_c, y_raw, variance = _prepare(theta, t, y, yerr2)
+        muF, muW = _u_split(jnp.asarray(mu0).ravel())
+        varF, varW = _u_split(jnp.asarray(var0).ravel())
+        elbo, mu_f, varf, mu_w, varw = _sweep(
+            Kf, Lf, Kw, Lw, y_c, y_raw, variance, muF, varF, muW, varW)
+        mu = jnp.concatenate([mu_f.ravel(), mu_w.ravel()])
+        var = jnp.concatenate([varf.ravel(), varw.ravel()])
+        return elbo, mu, var
+
+    def elbo_fixed(theta, t, y, yerr2, mu0, var0, n_sweeps: int):
+        """ELBO after a fixed number of sweeps — reverse-differentiable
+        (lax.scan), the gradient path for optimizers/HMC."""
+        Kf, Lf, Kw, Lw, y_c, y_raw, variance = _prepare(theta, t, y, yerr2)
+        muF0, muW0 = _u_split(jnp.asarray(mu0).ravel())
+        varF0, varW0 = _u_split(jnp.asarray(var0).ravel())
+
+        def step(carry, _):
+            muF, varF, muW, varW = carry
+            elbo, mu_f, varf, mu_w, varw = _sweep(
+                Kf, Lf, Kw, Lw, y_c, y_raw, variance, muF, varF, muW, varW)
+            return (mu_f, varf, mu_w, varw), elbo
+
+        (_, _, _, _), elbos = lax.scan(
+            step, (muF0, varF0, muW0, varW0), None, length=n_sweeps)
+        return elbos[-1]
+
+    def _value_and_grad(theta, t, y, yerr2, mu0, var0, n_sweeps: int):
+        return jax.value_and_grad(elbo_fixed)(theta, t, y, yerr2, mu0, var0,
+                                              n_sweeps)
+
+    # ---- posterior predictive (meanfield.py:1289-1379, _gp.py:107-138) ----
+
+    def _gp_conditional(structure, params, t, tstar, m, v):
+        K = kernel_matrix(structure, params, t, PREDICT_NUGGET) + jnp.diag(v)
+        L = jnp.linalg.cholesky(K)
+        sol = cho_solve((L, True), m)
+        Ks = cross_kernel_matrix(structure, params, tstar, t)
+        Kss_diag = jnp.diagonal(
+            kernel_matrix(structure, params, tstar, PREDICT_NUGGET))
+        mean = Ks @ sol
+        var = Kss_diag - jnp.einsum("nk,kn->n", Ks, cho_solve((L, True),
+                                                              Ks.T))
+        return mean, var
+
+    def predict(theta, t, y, yerr2, mu, var, tstar):
+        node_p, weight_p, _, jitters = unpack_parameters(spec, theta)
+        node_c = _core(node_p, node_maps)
+        weight_c = _core(weight_p, weight_maps)
+        muF, muW = _u_split(jnp.asarray(mu).ravel())
+        varF, varW = _u_split(jnp.asarray(var).ravel())
+        tstar = jnp.atleast_1d(jnp.asarray(tstar))
+        m_star = _mean_values(theta, tstar)                     # (p, n*)
+
+        n_pred, n_var = [], []
+        for j in range(q):
+            mj, vj = _gp_conditional(spec.node_structs[j], node_c[j],
+                                     t, tstar, muF[j], varF[j])
+            n_pred.append(mj)
+            n_var.append(vj)
+        n_pred = jnp.stack(n_pred)                              # (q, n*)
+        n_var = jnp.stack(n_var)
+
+        w_pred, w_var = [], []
+        for j in range(q):
+            for i in range(p):
+                mw, vw = _gp_conditional(spec.weight_structs[j * p + i],
+                                         weight_c[j * p + i],
+                                         t, tstar, muW[i, j], varW[i, j])
+                w_pred.append(mw)
+                w_var.append(vw)
+        w_pred = jnp.stack(w_pred).reshape(q, p, -1)            # (q, p, n*)
+        w_var = jnp.stack(w_var).reshape(q, p, -1)
+
+        jitt2 = jitters ** 2
+        # combine (meanfield.py:1364-1372); note the reference adds jitt²
+        # once per node inside the q-loop — reproduced exactly
+        mean_out = m_star.T + jnp.einsum("qn,qpn->np", n_pred, w_pred)
+        var_out = jnp.einsum(
+            "qpn->np",
+            w_pred ** 2 * n_var[:, None, :] +
+            w_var * (n_var[:, None, :] + n_pred[:, None, :] ** 2)) \
+            + q * jitt2[None, :]
+        return mean_out, var_out, n_pred, w_pred.reshape(q * p, -1)
+
+    jit = jax.jit
+    return Engine(
+        spec=spec,
+        init_mu_var=jit(init_mu_var),
+        elbo_fit=jit(elbo_fit),
+        elbo_fixed=jit(elbo_fixed, static_argnums=(6,)),
+        elbo_value_and_grad=jit(_value_and_grad, static_argnums=(6,)),
+        predict=jit(predict),
+        sweep_once=jit(sweep_once),
+    )

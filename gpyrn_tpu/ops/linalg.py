@@ -1,0 +1,72 @@
+"""Kernel-matrix construction and batched linear algebra.
+
+All functions are pure jax and designed to batch/vmap over the GPRN
+(q nodes × p outputs) lattice.  Nugget conventions copied from the
+reference for numerical parity:
+
+* training covariance: ``K + 1e-6 I``   (reference meanfield.py:413-434)
+* prediction/sampling covariance: ``K + 1.25e-12 I``
+  (reference meanfield.py:436-453, _gp.py:40-50)
+* non-stationary kernels (HarmonicPeriodic, QuasiHarmonicPeriodic,
+  Polynomial, Linear) receive ``(t1, t2)`` coordinates and get *no*
+  nugget, matching the reference branch (meanfield.py:426-431).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import vmap
+from jax.scipy.linalg import cho_solve as _cho_solve
+
+from gpyrn_tpu.ops import kernels as _k
+
+TRAIN_NUGGET = 1e-6
+PREDICT_NUGGET = 1.25e-12
+
+__all__ = [
+    "TRAIN_NUGGET", "PREDICT_NUGGET",
+    "kernel_matrix", "cross_kernel_matrix", "cholesky_nugget",
+    "chol_solve", "batched_chol", "batched_chol_solve",
+]
+
+
+def kernel_matrix(structure, params, t, nugget=TRAIN_NUGGET):
+    """Dense covariance matrix K(t, t) for one kernel structure."""
+    t = jnp.asarray(t)
+    if _k.is_nonstationary(structure):
+        return _k.evaluate(structure, params, t1=t[:, None], t2=t[None, :])
+    r = t[:, None] - t[None, :]
+    K = _k.evaluate(structure, params, r=r)
+    return K + nugget * jnp.eye(t.shape[0], dtype=K.dtype)
+
+
+def cross_kernel_matrix(structure, params, t_star, t):
+    """Cross-covariance K(t*, t) (no nugget; reference meanfield.py:455-471)."""
+    t_star = jnp.atleast_1d(jnp.asarray(t_star))
+    t = jnp.asarray(t)
+    if _k.is_nonstationary(structure):
+        return _k.evaluate(structure, params,
+                           t1=t_star[:, None], t2=t[None, :])
+    r = t_star[:, None] - t[None, :]
+    return _k.evaluate(structure, params, r=r)
+
+
+def cholesky_nugget(K):
+    """Lower Cholesky factor (the reference's `_cholNugget`,
+    meanfield.py:70-89, is a plain cholesky with a vestigial name)."""
+    return jnp.linalg.cholesky(K)
+
+
+def chol_solve(L, b):
+    """Solve K x = b given lower Cholesky factor L of K."""
+    return _cho_solve((L, True), b)
+
+
+def batched_chol(K):
+    """Cholesky over a leading batch axis; ``jnp.linalg.cholesky`` batches
+    natively and XLA maps it onto the MXU-friendly blocked algorithm."""
+    return jnp.linalg.cholesky(K)
+
+
+def batched_chol_solve(L, B):
+    """cho_solve over a leading batch axis."""
+    return vmap(lambda l, b: _cho_solve((l, True), b))(L, B)
