@@ -196,7 +196,7 @@ def run_ensemble(gprn, priors: Dict, free_names, p0=None, niter: int = 500,
 
     # per-walker warm-start caches
     th = full_theta(x)
-    mu_cache, var_cache = (np.asarray(a_) for a_ in init_batch(th))
+    mu_cache, var_cache = (np.array(a_) for a_ in init_batch(th))
 
     def logpost(xw, mu_w, var_w):
         """Batched log-posterior; returns (logp, elbo, new_mu, new_var,

@@ -1,0 +1,38 @@
+"""Helper to import the reference gpyrn package for parity tests.
+
+The reference (mounted read-only at /root/reference) predates numpy 2.0
+(`np.float`) and hard-imports emcee at module load; both are shimmed here
+so the reference's numerics can serve as the parity oracle.  Tests that
+use this helper skip cleanly when the reference isn't mounted.
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE_PATH = "/root/reference"
+
+
+def import_reference():
+    """Import and return (covfunc, meanfunc, meanfield) from the reference,
+    or skip the calling test if the reference isn't available."""
+    import os
+    if not os.path.isdir(REFERENCE_PATH):
+        pytest.skip("reference package not available")
+    if "emcee" not in sys.modules:
+        emcee = types.ModuleType("emcee")
+        emcee.EnsembleSampler = object
+        emcee.backends = types.SimpleNamespace(HDFBackend=object)
+        emcee.utils = types.SimpleNamespace(sample_ellipsoid=None)
+        sys.modules["emcee"] = emcee
+        sys.modules["emcee.utils"] = emcee.utils
+    if not hasattr(np, "float"):
+        np.float = float  # numpy>=1.24 removed the alias the reference uses
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", SyntaxWarning)
+        from gpyrn import covfunc, meanfunc, meanfield
+    return covfunc, meanfunc, meanfield

@@ -1,0 +1,74 @@
+"""Native vmapped ensemble MCMC (replacing the reference's emcee path,
+meanfield.py:1154-1286)."""
+import numpy as np
+import pytest
+import scipy.stats as st
+
+import gpyrn_tpu as g
+from gpyrn_tpu.inference.ensemble import EnsembleResult, autocorr_time
+
+
+@pytest.fixture
+def gprn(tiny_dataset):
+    t, y, yerr = tiny_dataset
+    m = g.inference(1, t, y, yerr)
+    m.set_components([g.covfunc.Periodic(1.0, 10.0, 0.5)],
+                     [g.covfunc.SquaredExponential(1.0, 5.0)],
+                     [None], [0.1])
+    m.ELBOcalc()
+    return m
+
+
+def test_native_sampler_smoke(gprn, tmp_path):
+    priors = {
+        'node1.theta': st.lognorm(s=0.5, scale=1.0),
+        'node1.P': st.norm(10.0, 1.0),
+        'node1.ell': st.lognorm(s=0.5, scale=0.5),
+        'weight1.theta': st.lognorm(s=0.5, scale=1.0),
+        'weight1.ell': st.lognorm(s=0.5, scale=5.0),
+        'jitter1': st.lognorm(s=0.5, scale=0.1),
+    }
+    ckpt = str(tmp_path / "chain.npz")
+    res = gprn.mcmc(priors, niter=12, elbo_max_iter=50, seed=1,
+                    checkpoint=ckpt)
+    assert res.chain.shape[0] == 12 or res.converged
+    assert res.chain.shape[2] == 6
+    assert np.all(np.isfinite(res.log_prob[np.isfinite(res.log_prob)]))
+    assert 0.0 <= res.acceptance <= 1.0
+
+    loaded = EnsembleResult.load(ckpt)
+    assert loaded.chain.shape == res.chain.shape
+    np.testing.assert_allclose(loaded.chain, res.chain)
+
+
+def test_missing_priors_raise(gprn):
+    with pytest.raises(ValueError, match='missing priors'):
+        gprn.mcmc({'node1.theta': st.norm(1, 1)}, niter=2)
+
+
+def test_mcmc_respects_frozen(gprn):
+    priors = {
+        'node1.theta': st.lognorm(s=0.3, scale=1.0),
+        'weight1.theta': st.lognorm(s=0.3, scale=1.0),
+    }
+    res = gprn.mcmc(priors, vars=['node1.theta', 'weight1.theta'],
+                    niter=5, elbo_max_iter=30, seed=2)
+    assert res.chain.shape[2] == 2
+    gprn.thaw_all_parameters()
+
+
+def test_autocorr_time_on_white_noise():
+    rng = np.random.default_rng(0)
+    chain = rng.standard_normal((400, 8, 2))
+    tau = autocorr_time(chain)
+    assert tau.shape == (2,)
+    assert np.all(tau < 10)
+
+
+def test_get_chain_accessors():
+    chain = np.arange(24, dtype=float).reshape(4, 3, 2)
+    lp = np.zeros((4, 3))
+    res = EnsembleResult(chain, lp, lp, ['a', 'b'])
+    assert res.get_chain(discard=1).shape == (3, 3, 2)
+    assert res.get_chain(flat=True).shape == (12, 2)
+    assert res.get_log_prob(flat=True).shape == (12,)
