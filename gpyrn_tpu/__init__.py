@@ -18,7 +18,10 @@ from gpyrn_tpu import config  # noqa: F401  (enables x64 by default)
 from gpyrn_tpu.ops import kernels as covfunc   # noqa: E402
 from gpyrn_tpu.ops import means as meanfunc    # noqa: E402
 from gpyrn_tpu.inference import meanfield      # noqa: E402
+from gpyrn_tpu.inference import evidence       # noqa: E402
+from gpyrn_tpu.inference import nonparametric  # noqa: E402
 from gpyrn_tpu.inference.meanfield import inference  # noqa: E402
+from gpyrn_tpu import datasets                 # noqa: E402
 
 # convenience re-exports, matching the reference __init__
 from gpyrn_tpu.ops.means import Constant, Linear              # noqa: E402
@@ -26,6 +29,7 @@ from gpyrn_tpu.ops.kernels import (SquaredExponential,        # noqa: E402
                                    QuasiPeriodic)
 
 __all__ = [
-    "inference", "covfunc", "meanfunc", "meanfield",
+    "inference", "covfunc", "meanfunc", "meanfield", "evidence",
+    "nonparametric", "datasets",
     "Constant", "Linear", "SquaredExponential", "QuasiPeriodic",
 ]

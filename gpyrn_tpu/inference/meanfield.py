@@ -63,6 +63,7 @@ class inference:
         self.elbo_max_iter = 5000
         self.verbose = False
         self._engine = None
+        self._lattice_axis = None
 
     # ------------------------------------------------------------------
     # components & parameters
@@ -306,8 +307,21 @@ class inference:
                     tuple(k.core_params_from if k.has_core_map() else None
                           for k in self.weights),
                 )
-            self._engine = _core.make_engine(spec, core_maps)
+            self._engine = _core.make_engine(spec, core_maps,
+                                             self._lattice_axis)
         return self._engine
+
+    @property
+    def lattice_axis(self):
+        """Mesh-axis name over which the (q × p) lattice of kernel
+        matrices is sharded (None = unsharded).  Run inference inside
+        ``gpyrn_tpu.parallel.use_mesh(mesh)`` when set."""
+        return self._lattice_axis
+
+    @lattice_axis.setter
+    def lattice_axis(self, axis):
+        self._lattice_axis = axis
+        self._engine = None
 
     def _theta(self, nodes=None, weights=None, means=None, jitters=None):
         nodes, weights, means, jitters = self._get_components(

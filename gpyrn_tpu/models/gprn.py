@@ -158,12 +158,20 @@ class Engine(NamedTuple):
 
 @functools.lru_cache(maxsize=128)
 def make_engine(spec: GPRNSpec,
-                core_maps: Optional[Tuple] = None) -> Engine:
+                core_maps: Optional[Tuple] = None,
+                lattice_axis: Optional[str] = None) -> Engine:
     """Create the jitted function bundle for a model structure.
 
     ``core_maps`` optionally carries per-kernel (trainable → core)
     parameter maps for kernels with static extras (QuasiHarmonicPeriodic);
     it must be a hashable tuple of callables or None.
+
+    ``lattice_axis`` optionally names a mesh axis over which the
+    (q × p) weight lattice — the natural model-parallel axis of a GPRN —
+    is sharded: every batched N×N Cholesky/solve then runs distributed,
+    one lattice shard per device.  Callers must run the returned
+    functions inside ``jax.sharding.use_mesh(mesh)`` (see
+    :mod:`gpyrn_tpu.parallel`).
     """
     q, p, N = spec.q, spec.p, spec.N
     d = spec.d
@@ -171,6 +179,17 @@ def make_engine(spec: GPRNSpec,
     node_maps = weight_maps = None
     if core_maps is not None:
         node_maps, weight_maps = core_maps
+
+    if lattice_axis is not None:
+        from jax.sharding import PartitionSpec as _P
+
+        def _shard_lat(x, batch_dims):
+            """Constrain the leading lattice batch dim over the mesh axis."""
+            spec_ = _P(lattice_axis, *([None] * (x.ndim - 1)))
+            return lax.with_sharding_constraint(x, spec_)
+    else:
+        def _shard_lat(x, batch_dims=1):
+            return x
 
     def _core(params_list, maps):
         if maps is None:
@@ -188,6 +207,7 @@ def make_engine(spec: GPRNSpec,
                         for s, cp in zip(spec.node_structs, node_c)])
         Kw_flat = jnp.stack([kernel_matrix(s, cp, t, TRAIN_NUGGET)
                              for s, cp in zip(spec.weight_structs, weight_c)])
+        Kw_flat = _shard_lat(Kw_flat, 1)
         Kw = Kw_flat.reshape(q, p, N, N)
         return Kf, Kw, jitters
 

@@ -1,0 +1,84 @@
+"""Nonparametric (mixture-of-Gaussians) VI tests.
+
+The reference module is experimental and broken for q > 1 (its own
+comment, nonparametric.py:401), so the oracles here are mathematical:
+the NPV ELBO must be a valid lower bound that improves under optimization
+and approach the mean-field ELBO from below on a well-identified problem
+(a k=1 isotropic mixture is a strictly smaller family than mean-field's
+free-diagonal Gaussian)."""
+import numpy as np
+import pytest
+
+import gpyrn_tpu as g
+from gpyrn_tpu.inference import nonparametric as npv
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(0)
+    N = 15
+    t = np.sort(rng.uniform(0, 30, N))
+    y = np.sin(2 * np.pi * t / 10) + 0.1 * rng.standard_normal(N)
+    yerr = np.full(N, 0.1)
+    return t, y, yerr
+
+
+def _components():
+    return ([g.covfunc.Periodic(1.0, 10.0, 0.5)],
+            [g.covfunc.SquaredExponential(1.0, 5.0)], [None], [0.1])
+
+
+def test_constructor_invariants(problem):
+    t, y, yerr = problem
+    gprn = npv.inference(1, t, 3, y, yerr)
+    assert gprn.N == t.size and gprn.p == 1 and gprn.k == 3
+    assert gprn.d == t.size * 2
+    f, w = gprn._u_to_fhatW(np.arange(gprn.d, dtype=float))
+    assert f.shape == (1, 1, t.size) and w.shape == (1, 1, t.size)
+
+
+def test_constructor_odd_args_raises(problem):
+    t, y, yerr = problem
+    with pytest.raises(AssertionError):
+        npv.inference(1, t, 3, y, yerr, y)
+
+
+def test_elbo_improves_under_fit(problem):
+    t, y, yerr = problem
+    gprn = npv.inference(1, t, 2, y, yerr)
+    nodes, weights, means, jitters = _components()
+    e_short, mu, var = gprn.ELBOcalc(nodes, weights, means, jitters,
+                                     iterations=5)
+    e_long, mu, var = gprn.ELBOcalc(nodes, weights, means, jitters,
+                                    iterations=300)
+    assert np.isfinite(e_short) and np.isfinite(e_long)
+    assert e_long > e_short
+    assert mu.shape == (2, gprn.d)
+    assert var.shape == (2,)
+    assert np.all(var > 0)
+
+
+def test_npv_is_lower_bound_of_meanfield(problem):
+    """NPV with an isotropic mixture cannot beat the mean-field optimum on
+    this family (same model, strictly smaller variational family)."""
+    t, y, yerr = problem
+    nodes, weights, means, jitters = _components()
+
+    mf = g.inference(1, t, y, yerr)
+    mf.set_components(*_components())
+    e_mf = mf.ELBO
+
+    npv_inf = npv.inference(1, t, 2, y, yerr)
+    e_npv, *_ = npv_inf.ELBOcalc(nodes, weights, means, jitters,
+                                 iterations=800, learning_rate=3e-2)
+    assert e_npv <= e_mf + 0.5  # small slack for entropy-bound looseness
+
+
+def test_elbo_trajectory_monotonic_tail(problem):
+    t, y, yerr = problem
+    gprn = npv.inference(1, t, 2, y, yerr)
+    nodes, weights, means, jitters = _components()
+    gprn.ELBOcalc(nodes, weights, means, jitters, iterations=200)
+    traj = gprn._traj
+    # adam is not strictly monotone, but the tail must improve on the head
+    assert np.mean(traj[-20:]) > np.mean(traj[:20])
