@@ -1,0 +1,157 @@
+"""Benchmark: ELBO+gradient wall-clock on the flagship config.
+
+Metric (BASELINE.json): ELBO+grad wall-clock for an N=1000, 3-output,
+QuasiPeriodic-node GPRN — the reference can't compute gradients at all,
+so the baseline is the cost of the *same amount of mean-field work*
+(30 coordinate-ascent sweeps) in the reference NumPy engine on this
+machine's CPU, measured once and cached in ``.bench_baseline.json``.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": ..., "unit": "ms", "vs_baseline": ...}
+``vs_baseline`` > 1 means we are that many times faster.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+# The speed path is float32 (f64 is software-emulated on TPU and its
+# compile time is prohibitive); numerical parity with the reference is
+# validated separately in float64 by the test suite.
+os.environ.setdefault("GPYRN_TPU_X64", "0")
+
+N = int(os.environ.get("GPYRN_BENCH_N", "1000"))
+N_SWEEPS = 30
+BASELINE_CACHE = os.path.join(HERE, ".bench_baseline.json")
+
+
+def _problem_data(N):
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0, 100, N))
+    data = []
+    for i in range(3):
+        data += [np.sin(2 * np.pi * t / (20 + 5 * i))
+                 + 0.1 * rng.standard_normal(N), np.full(N, 0.1)]
+    return t, data
+
+
+def measure_ours():
+    import jax
+    import gpyrn_tpu as g
+
+    t, data = _problem_data(N)
+    gprn = g.inference(1, t, *data)
+    gprn.set_components(
+        [g.covfunc.QuasiPeriodic(1.0, 30.0, 20.0, 0.7)],
+        [g.covfunc.SquaredExponential(1.0 + 0.05 * k, 30.0)
+         for k in range(3)],
+        [None] * 3, [0.1] * 3)
+    eng = gprn.engine
+    theta = gprn._theta()
+    tt = np.asarray(gprn.time, dtype=float)
+    mu0, var0 = eng.init_mu_var(theta, gprn.y)
+
+    def run():
+        v, grad = eng.elbo_value_and_grad(theta, tt, gprn.y, gprn.yerr2,
+                                          mu0, var0, N_SWEEPS)
+        # force completion via host transfer (block_until_ready alone is
+        # not reliable through the axon async stream)
+        return float(v), np.asarray(grad)
+
+    v, grad = run()                      # compile
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        v, grad = run()
+        times.append(time.perf_counter() - t0)
+    ok = bool(np.isfinite(v) and np.all(np.isfinite(grad)))
+    return float(np.median(times)) * 1e3, v, ok
+
+
+_BASELINE_SNIPPET = r"""
+import json, sys, time, types, warnings
+import jax
+jax.config.update("jax_platforms", "cpu")   # reference timing is CPU-only
+import numpy as np
+emcee = types.ModuleType("emcee")
+emcee.EnsembleSampler = object
+emcee.backends = types.SimpleNamespace(HDFBackend=object)
+emcee.utils = types.SimpleNamespace(sample_ellipsoid=None)
+sys.modules["emcee"] = emcee
+sys.modules["emcee.utils"] = emcee.utils
+np.float = float
+sys.path.insert(0, "/root/reference")
+with warnings.catch_warnings():
+    warnings.simplefilter("ignore", SyntaxWarning)
+    from gpyrn import covfunc as rc, meanfield as rm
+
+N, n_meas = int(sys.argv[1]), int(sys.argv[2])
+rng = np.random.default_rng(0)
+t = np.sort(rng.uniform(0, 100, N))
+data = []
+for i in range(3):
+    data += [np.sin(2*np.pi*t/(20+5*i)) + 0.1*rng.standard_normal(N),
+             np.full(N, 0.1)]
+r = rm.inference(1, t, *data)
+nodes = [rc.QuasiPeriodic(1.0, 30.0, 20.0, 0.7)]
+weights = [rc.SquaredExponential(1.0 + 0.05*k, 30.0) for k in range(3)]
+r.set_components(nodes, weights, [None]*3, [0.1]*3)
+t0 = time.perf_counter()
+_, _, _, it = r.ELBOcalc(nodes, weights, [None]*3, [0.1]*3,
+                         max_iter=n_meas)
+wall = time.perf_counter() - t0
+print(json.dumps({"wall": wall, "iters": int(it)}))
+"""
+
+
+def measure_baseline():
+    """Reference NumPy engine: ms for N_SWEEPS coordinate-ascent sweeps
+    (ELBO only — it has no gradient path).  Runs in a CPU-pinned
+    subprocess so the reference's jitted f64 leaf functions never touch
+    the TPU (f64 TPU compiles are prohibitively slow)."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cached = json.load(f)
+        if cached.get("N") == N and cached.get("n_sweeps") == N_SWEEPS:
+            return cached["ms"]
+    if not os.path.isdir("/root/reference"):
+        return None
+
+    import subprocess
+    n_meas = 5
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _BASELINE_SNIPPET, str(N), str(n_meas)],
+            capture_output=True, text=True, timeout=900, check=True)
+    except (subprocess.SubprocessError, OSError):
+        return None
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    ms = res["wall"] / max(res["iters"], 1) * N_SWEEPS * 1e3
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"N": N, "n_sweeps": N_SWEEPS, "ms": ms,
+                   "measured_sweeps": res["iters"]}, f)
+    return ms
+
+
+def main():
+    ours_ms, elbo, ok = measure_ours()
+    base_ms = measure_baseline()
+    vs = (base_ms / ours_ms) if (base_ms and ok) else float("nan")
+    print(json.dumps({
+        "metric": f"elbo_grad_30sweeps_walltime_N{N}_p3_QP_GPRN",
+        "value": round(ours_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(vs, 2) if np.isfinite(vs) else None,
+        "elbo": elbo,
+        "finite": ok,
+        "baseline_ms": round(base_ms, 1) if base_ms else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

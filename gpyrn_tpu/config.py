@@ -30,6 +30,28 @@ def enable_x64(enable: bool = True) -> None:
 if os.environ.get("GPYRN_TPU_X64", "1") != "0":
     enable_x64(True)
 
+# On TPU, float32 matmuls default to fast bfloat16 MXU passes; the GPRN
+# engine's Cholesky factors and Gram products (K − BᵀB) need genuine f32
+# accumulation or the ill-conditioned kernel matrices go NaN.  "highest"
+# uses the 6-pass f32-equivalent MXU schedule — still far faster than
+# software-emulated f64.
+_MATMUL_PRECISION = os.environ.get("GPYRN_TPU_MATMUL_PRECISION", "highest")
+if _MATMUL_PRECISION:
+    jax.config.update("jax_default_matmul_precision", _MATMUL_PRECISION)
+
+# Persistent compilation cache: the fused fit/grad programs are large
+# (batched Cholesky factorizations inside scan/while_loop) and TPU
+# compiles are expensive — cache them across processes.
+_CACHE_DIR = os.environ.get("GPYRN_TPU_COMPILE_CACHE",
+                            os.path.expanduser("~/.cache/gpyrn_tpu_xla"))
+if _CACHE_DIR and _CACHE_DIR != "0":
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (OSError, AttributeError):  # read-only fs or older jax
+        pass
+
 # dtype used for kernel matrices / Cholesky inside the inference engine
 _COMPUTE_DTYPE = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 

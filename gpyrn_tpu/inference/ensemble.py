@@ -159,7 +159,9 @@ def run_ensemble(gprn, priors: Dict, free_names, p0=None, niter: int = 500,
 
     # batched device evaluation: theta (W, n_par), mu/var (W, d)
     def _fit_one(theta, mu, var):
-        return eng.elbo_fit(theta, t, y, yerr2, mu, var, elbo_max_iter)
+        elbo, mu_o, var_o, n_it, conv, _trace = eng.elbo_fit(
+            theta, t, y, yerr2, mu, var, elbo_max_iter)
+        return elbo, mu_o, var_o, n_it, conv
 
     fit_batch = jax.jit(jax.vmap(_fit_one))
     init_batch = jax.jit(jax.vmap(lambda th: eng.init_mu_var(th, y)))

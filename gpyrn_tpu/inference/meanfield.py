@@ -376,12 +376,15 @@ class inference:
         if max_iter is None:
             max_iter = 10000
 
-        elbo, mu_out, var_out, n_iter, converged = self.engine.elbo_fit(
-            theta, np.asarray(self.time, dtype=float), self.y, self.yerr2,
-            mu0, var0, max_iter)
+        elbo, mu_out, var_out, n_iter, converged, trace = \
+            self.engine.elbo_fit(
+                theta, np.asarray(self.time, dtype=float), self.y,
+                self.yerr2, mu0, var0, max_iter)
         elbo = float(elbo)
         mu_out = np.asarray(mu_out)
         var_out = np.asarray(var_out)
+        # per-iteration ELBO trajectory (diagnostics; trimmed to n_iter)
+        self.elbo_history = np.asarray(trace)[:int(n_iter)]
         if bool(converged):
             # the reference caches the variational state only on
             # convergence (meanfield.py:643-646)
@@ -668,3 +671,44 @@ class inference:
         from gpyrn_tpu.utils.plots import plot_prediction
         return plot_prediction(self, nn=nn, tstar=tstar, over=over,
                                title=title)
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume
+    # ------------------------------------------------------------------
+
+    def save(self, filename):
+        """Checkpoint hyperparameters, frozen mask and the variational
+        warm-start state to a compressed npz file.
+
+        The reference persisted nothing but the emcee HDF5 chain
+        (meanfield.py:1253-1255); this also checkpoints the fit state so
+        long optimizations resume warm."""
+        self._require_components()
+        np.savez_compressed(
+            filename,
+            parameters=self.get_parameters(include_frozen=True),
+            frozen_mask=self.frozen_mask,
+            mu=np.asarray(self._mu) if self._mu is not None else np.array([]),
+            var=(np.asarray(self._var) if self._var is not None
+                 else np.array([])),
+            elbo_history=getattr(self, 'elbo_history', np.array([])))
+
+    def load(self, filename):
+        """Restore a checkpoint written by :meth:`save`.
+
+        Components (kernels/means structure) must already be set via
+        :meth:`set_components`; only parameter values and variational
+        state are restored."""
+        self._require_components()
+        z = np.load(filename)
+        # restore values with everything thawed (set_parameters would
+        # otherwise preserve the *current* values at frozen positions)
+        self._frozen_mask = np.zeros(self.n_parameters, dtype=bool)
+        self.set_parameters(z['parameters'])
+        self._frozen_mask = z['frozen_mask']
+        if z['mu'].size:
+            self._mu = z['mu']
+            self._var = z['var']
+        if z['elbo_history'].size:
+            self.elbo_history = z['elbo_history']
+        return self

@@ -46,7 +46,8 @@ from jax.scipy.linalg import cho_solve
 from gpyrn_tpu.ops import kernels as kernels_mod
 from gpyrn_tpu.ops import means as means_mod
 from gpyrn_tpu.ops.linalg import (PREDICT_NUGGET, TRAIN_NUGGET,
-                                  cross_kernel_matrix, kernel_matrix)
+                                  cross_kernel_matrix, kernel_matrix,
+                                  psd_jitter)
 
 __all__ = [
     "GPRNSpec", "spec_from_components", "pack_parameters",
@@ -208,8 +209,7 @@ def make_engine(spec: GPRNSpec,
         Kw_flat = jnp.stack([kernel_matrix(s, cp, t, TRAIN_NUGGET)
                              for s, cp in zip(spec.weight_structs, weight_c)])
         Kw_flat = _shard_lat(Kw_flat, 1)
-        Kw = Kw_flat.reshape(q, p, N, N)
-        return Kf, Kw, jitters
+        return Kf, Kw_flat, jitters
 
     def _mean_values(theta, t):
         _, _, mean_p, _ = unpack_parameters(spec, theta)
@@ -253,16 +253,27 @@ def make_engine(spec: GPRNSpec,
     def _chol_batched(K):
         return jnp.linalg.cholesky(K)
 
-    def _sweep(Kf, Lf, Kw, Lw, y_c, y_raw, variance, muF, varF, muW, varW):
-        """One ELBOaux step.  Shapes: Kf (q,N,N), Kw (q,p,N,N),
-        y_* (p,N), variance (p,N), muF/varF (q,N), muW/varW (p,q,N)."""
+    def _trisolve(L, B):
+        return lax.linalg.triangular_solve(L, B, left_side=True, lower=True)
+
+    def _sweep(Kf, Kw_flat, L_all, y_c, y_raw, variance,
+               muF, varF, muW, varW):
+        """One ELBOaux step, with all lattice linear algebra expressed as
+        a handful of LARGE batched ops (chol / triangular-solve batches of
+        q and q·p and q·(1+p) matrices) — the MXU-friendly layout, and it
+        keeps the compiled program small (important for emulated f64).
+
+        Shapes: Kf (q,N,N), Kw_flat (q·p,N,N) [index j·p+i],
+        L_all (q·(1+p),N,N) [chol of Kf ++ Kw_flat], y_* (p,N),
+        variance (p,N), muF/varF (q,N), muW/varW (p,q,N)."""
+        qp = q * p
+
         # -- node update (eqs. 16-17) --
         dv = jnp.sum((muW * muW + varW) / variance[:, None, :], axis=0)
         Af = Kf + vmap(jnp.diag)(1.0 / dv)
         Laf = _chol_batched(Af)
         # K A^{-1} K = B^T B with B = L^{-1} K
-        Bf = vmap(lambda l, k: lax.linalg.triangular_solve(
-            l, k, left_side=True, lower=True))(Laf, Kf)
+        Bf = _trisolve(Laf, Kf)
         sigma_f = Kf - jnp.einsum("qki,qkj->qij", Bf, Bf)
         total = jnp.einsum("pqn,qn->pn", muW, muF)
         resid = (y_c[None, :, :] - total[None, :, :] +
@@ -274,50 +285,46 @@ def make_engine(spec: GPRNSpec,
         # -- weight update (eqs. 18-19); uses NEW mu_f, OLD muW --
         dSf = jnp.diagonal(sigma_f, axis1=1, axis2=2)            # (q,N)
         dv2 = mu_f * mu_f + dSf                                  # (q,N)
-        ratio = variance[None, :, :] / dv2[:, None, :]           # (q,p,N)
-        Aw = Kw + vmap(vmap(jnp.diag))(ratio)
+        ratio = (variance[None, :, :] /
+                 dv2[:, None, :]).reshape(qp, N)                 # (q·p,N)
+        Aw = Kw_flat + vmap(jnp.diag)(ratio)
         Law = _chol_batched(Aw)
-        Bw = vmap(vmap(lambda l, k: lax.linalg.triangular_solve(
-            l, k, left_side=True, lower=True)))(Law, Kw)
-        sigma_w = Kw - jnp.einsum("qpki,qpkj->qpij", Bw, Bw)
+        Bw = _trisolve(Law, Kw_flat)
+        sigma_w = Kw_flat - jnp.einsum("aki,akj->aij", Bw, Bw)   # (q·p,N,N)
         total2 = jnp.einsum("pqn,qn->pn", muW, mu_f)
         resid2 = (y_c[None, :, :] - total2[None, :, :] +
                   muW.transpose(1, 0, 2) * mu_f[:, None, :])     # (q,p,N)
-        pred2 = resid2 * mu_f[:, None, :] / variance[None, :, :]
-        mu_w_qp = jnp.einsum("qpij,qpj->qpi", sigma_w, pred2)    # (q,p,N)
-        mu_w = mu_w_qp.transpose(1, 0, 2)                        # (p,q,N)
-        dSw = jnp.diagonal(sigma_w, axis1=2, axis2=3)            # (q,p,N)
+        pred2 = (resid2 * mu_f[:, None, :] /
+                 variance[None, :, :]).reshape(qp, N)
+        mu_w_flat = jnp.einsum("aij,aj->ai", sigma_w, pred2)     # (q·p,N)
+        mu_w = mu_w_flat.reshape(q, p, N).transpose(1, 0, 2)     # (p,q,N)
+        dSw = jnp.diagonal(sigma_w, axis1=1, axis2=2)            # (q·p,N)
+        dSw_qp = dSw.reshape(q, p, N)
 
-        # -- entropy (meanfield.py:1069-1093) --
-        Lsf = _chol_batched(sigma_f)
-        Lsw = _chol_batched(sigma_w)
-        ent = (jnp.sum(jnp.log(jnp.diagonal(Lsf, axis1=1, axis2=2))) +
-               jnp.sum(jnp.log(jnp.diagonal(Lsw, axis1=2, axis2=3))))
+        # -- entropy (meanfield.py:1069-1093): ONE chol batch over the
+        #    whole q·(1+p) lattice of posterior covariances --
+        sigma_all = jnp.concatenate([sigma_f, sigma_w], axis=0)
+        Ls_all = _chol_batched(psd_jitter(sigma_all))
+        ent = jnp.sum(jnp.log(jnp.diagonal(Ls_all, axis1=1, axis2=2)))
         ent = ent + 0.5 * q * (p + 1) * N * (1 + jnp.log(2 * jnp.pi))
 
-        # -- expected log prior (meanfield.py:992-1067) --
-        logdet_f = jnp.sum(jnp.log(jnp.diagonal(Lf, axis1=1, axis2=2)),
-                           axis=1)                               # (q,)
-        alpha_f = vmap(lambda l, m: cho_solve((l, True), m))(Lf, mu_f)
-        muKmu_f = jnp.einsum("qn,qn->q", mu_f, alpha_f)
-        cum_sigma = jnp.cumsum(sigma_f, axis=0)  # reference quirk :1039
-        tr_f = vmap(lambda l, s: jnp.trace(cho_solve((l, True), s)))(
-            Lf, cum_sigma)
-        first_term = jnp.sum(-logdet_f - 0.5 * (muKmu_f + tr_f))
-
-        # reference quirk (meanfield.py:1021): raw reshape (p,q,N)->(q,p,N)
-        muW_q = mu_w.reshape(q, p, N)
-        Lw_f = Lw.reshape(q * p, N, N)
-        muW_f = muW_q.reshape(q * p, N)
-        sig_w_f = sigma_w.reshape(q * p, N, N)
-        alpha_w = vmap(lambda l, m: cho_solve((l, True), m))(Lw_f, muW_f)
-        muKmu_w = jnp.einsum("an,an->a", muW_f, alpha_w)
-        tr_w = vmap(lambda l, s: jnp.trace(cho_solve((l, True), s)))(
-            Lw_f, sig_w_f)
-        logdet_w = jnp.sum(jnp.log(jnp.diagonal(Lw_f, axis1=1, axis2=2)),
-                           axis=1)
-        second_term = jnp.sum(-logdet_w - 0.5 * (muKmu_w + tr_w))
-        logp = first_term + second_term \
+        # -- expected log prior (meanfield.py:992-1067): batched solves
+        #    against the prefactored prior cholesky L_all --
+        logdet_all = jnp.sum(jnp.log(jnp.diagonal(L_all, axis1=1, axis2=2)),
+                             axis=1)                             # (q·(1+p),)
+        # reference quirk (meanfield.py:1021): the (p,q,N) weight means
+        # enter the prior as a RAW flatten to (q·p, N)
+        muW_prior = mu_w.reshape(qp, N)
+        mu_all = jnp.concatenate([mu_f, muW_prior], axis=0)      # (q(1+p),N)
+        alpha_all = vmap(lambda l, m: cho_solve((l, True), m))(L_all, mu_all)
+        muKmu_all = jnp.einsum("an,an->a", mu_all, alpha_all)
+        # reference quirk (meanfield.py:1039): node j's trace term uses
+        # the CUMULATIVE sum of sigma_f over nodes <= j
+        cum_sigma = jnp.cumsum(sigma_f, axis=0)
+        S_all = jnp.concatenate([cum_sigma, sigma_w], axis=0)
+        tr_all = vmap(lambda l, s: jnp.trace(cho_solve((l, True), s)))(
+            L_all, S_all)
+        logp = jnp.sum(-logdet_all - 0.5 * (muKmu_all + tr_all)) \
             - 0.5 * N * q * (p + 1) * jnp.log(2 * jnp.pi)
 
         # -- expected log likelihood (meanfield.py:895-990) --
@@ -326,42 +333,49 @@ def make_engine(spec: GPRNSpec,
         # reference quirk (meanfield.py:940): uses raw y, not y - mean
         res = y_raw - omega_nu
         logl = logl - 0.5 * jnp.sum(res * res / variance)
-        dSw_pq = dSw  # (q,p,N)
         quad = (dSf[:, None, :] * (mu_w.transpose(1, 0, 2) ** 2) +
-                dSw_pq * (mu_f[:, None, :] ** 2) +
-                dSf[:, None, :] * dSw_pq) / variance[None, :, :]
+                dSw_qp * (mu_f[:, None, :] ** 2) +
+                dSf[:, None, :] * dSw_qp) / variance[None, :, :]
         logl = logl - 0.5 * jnp.sum(quad)
 
         elbo = (logl + logp + ent) / q
-        return elbo, mu_f, dSf, mu_w, dSw.transpose(1, 0, 2)
+        return elbo, mu_f, dSf, mu_w, dSw_qp.transpose(1, 0, 2)
 
     # ---- full fit: while_loop with reference stopping rule -----------------
 
     def _prepare(theta, t, y, yerr2):
-        Kf, Kw, jitters = _build_matrices(theta, t)
-        Lf = _chol_batched(Kf)
-        Lw = _chol_batched(Kw)
+        Kf, Kw_flat, jitters = _build_matrices(theta, t)
+        # ONE batched Cholesky of the whole q·(1+p) prior lattice
+        L_all = _chol_batched(jnp.concatenate([Kf, Kw_flat], axis=0))
         m = _mean_values(theta, t)
         y = jnp.asarray(y)
         y_c = y - m
         variance = jitters[:, None] ** 2 + jnp.asarray(yerr2)
-        return Kf, Lf, Kw, Lw, y_c, y, variance
+        return Kf, Kw_flat, L_all, y_c, y, variance
+
+    # fixed-size per-iteration ELBO trace buffer (convergence diagnostics;
+    # the reference kept an unbounded Python-side elboArray, :628-637)
+    TRACE_LEN = 10000
 
     def elbo_fit(theta, t, y, yerr2, mu0, var0, max_iter=10000):
-        Kf, Lf, Kw, Lw, y_c, y_raw, variance = _prepare(theta, t, y, yerr2)
+        Kf, Kw_flat, L_all, y_c, y_raw, variance = _prepare(
+            theta, t, y, yerr2)
         muF0, muW0 = _u_split(jnp.asarray(mu0).ravel())
         varF0, varW0 = _u_split(jnp.asarray(var0).ravel())
 
         def body(state):
-            muF, varF, muW, varW, _, hist, it, done = state
+            muF, varF, muW, varW, _, hist, trace, it, done = state
             elbo, mu_f, varf, mu_w, varw = _sweep(
-                Kf, Lf, Kw, Lw, y_c, y_raw, variance, muF, varF, muW, varW)
+                Kf, Kw_flat, L_all, y_c, y_raw, variance,
+                muF, varF, muW, varW)
             hist = jnp.concatenate([hist[1:], jnp.array([elbo])])
+            trace = lax.dynamic_update_index_in_dim(
+                trace, elbo, jnp.minimum(it, TRACE_LEN - 1), 0)
             it = it + 1
             mean3 = jnp.mean(hist)
             crit = jnp.abs(jnp.std(hist) / mean3)
             done = (it > 3) & (crit < 1e-3) & (crit != 0)
-            return mu_f, varf, mu_w, varw, elbo, hist, it, done
+            return mu_f, varf, mu_w, varw, elbo, hist, trace, it, done
 
         def cond(state):
             *_, it, done = state
@@ -369,20 +383,22 @@ def make_engine(spec: GPRNSpec,
 
         init = (muF0, varF0, muW0, varW0, jnp.array(0.0, muF0.dtype),
                 jnp.full(3, jnp.inf, dtype=muF0.dtype),
+                jnp.full(TRACE_LEN, jnp.nan, dtype=muF0.dtype),
                 jnp.array(0, jnp.int32), jnp.array(False))
-        muF, varF, muW, varW, elbo, _, it, done = lax.while_loop(
+        muF, varF, muW, varW, elbo, _, trace, it, done = lax.while_loop(
             cond, body, init)
         mu = jnp.concatenate([muF.ravel(), muW.ravel()])
         var = jnp.concatenate([varF.ravel(), varW.ravel()])
-        return elbo, mu, var, it, done
+        return elbo, mu, var, it, done, trace
 
     def sweep_once(theta, t, y, yerr2, mu0, var0):
         """Single ELBOaux step (reference meanfield.py:651-710)."""
-        Kf, Lf, Kw, Lw, y_c, y_raw, variance = _prepare(theta, t, y, yerr2)
+        Kf, Kw_flat, L_all, y_c, y_raw, variance = _prepare(
+            theta, t, y, yerr2)
         muF, muW = _u_split(jnp.asarray(mu0).ravel())
         varF, varW = _u_split(jnp.asarray(var0).ravel())
         elbo, mu_f, varf, mu_w, varw = _sweep(
-            Kf, Lf, Kw, Lw, y_c, y_raw, variance, muF, varF, muW, varW)
+            Kf, Kw_flat, L_all, y_c, y_raw, variance, muF, varF, muW, varW)
         mu = jnp.concatenate([mu_f.ravel(), mu_w.ravel()])
         var = jnp.concatenate([varf.ravel(), varw.ravel()])
         return elbo, mu, var
@@ -390,14 +406,16 @@ def make_engine(spec: GPRNSpec,
     def elbo_fixed(theta, t, y, yerr2, mu0, var0, n_sweeps: int):
         """ELBO after a fixed number of sweeps — reverse-differentiable
         (lax.scan), the gradient path for optimizers/HMC."""
-        Kf, Lf, Kw, Lw, y_c, y_raw, variance = _prepare(theta, t, y, yerr2)
+        Kf, Kw_flat, L_all, y_c, y_raw, variance = _prepare(
+            theta, t, y, yerr2)
         muF0, muW0 = _u_split(jnp.asarray(mu0).ravel())
         varF0, varW0 = _u_split(jnp.asarray(var0).ravel())
 
         def step(carry, _):
             muF, varF, muW, varW = carry
             elbo, mu_f, varf, mu_w, varw = _sweep(
-                Kf, Lf, Kw, Lw, y_c, y_raw, variance, muF, varF, muW, varW)
+                Kf, Kw_flat, L_all, y_c, y_raw, variance,
+                muF, varF, muW, varW)
             return (mu_f, varf, mu_w, varw), elbo
 
         (_, _, _, _), elbos = lax.scan(

@@ -22,21 +22,51 @@ from gpyrn_tpu.ops import kernels as _k
 TRAIN_NUGGET = 1e-6
 PREDICT_NUGGET = 1.25e-12
 
+import os
+
+# Margin multiplier for the float32 trace-scaled jitter.  TPU's blocked
+# Cholesky loses more precision than LAPACK's, so near-rank-deficient
+# kernels (e.g. SquaredExponential with a long length-scale) need the
+# condition number pushed further below 1/eps_f32.  Immaterial in f64
+# (the scaled term stays far below the reference's fixed nuggets).
+F32_JITTER_MULT = float(os.environ.get("GPYRN_TPU_F32_JITTER_MULT", "32"))
+
 __all__ = [
     "TRAIN_NUGGET", "PREDICT_NUGGET",
     "kernel_matrix", "cross_kernel_matrix", "cholesky_nugget",
-    "chol_solve", "batched_chol", "batched_chol_solve",
+    "chol_solve", "batched_chol", "batched_chol_solve", "psd_jitter",
 ]
 
 
 def kernel_matrix(structure, params, t, nugget=TRAIN_NUGGET):
-    """Dense covariance matrix K(t, t) for one kernel structure."""
+    """Dense covariance matrix K(t, t) for one kernel structure.
+
+    The jitter added to the diagonal is ``max(nugget, eps(dtype)·tr(K))``:
+    in float64 this is exactly the reference's fixed nugget (eps·tr ≈
+    1e-13 for typical scales, far below 1e-6), while in float32 it scales
+    with the spectral bound tr(K) ≥ λmax so the condition number stays
+    below 1/eps ≈ 8.4e6 and the Cholesky remains finite — the dtype-aware
+    equivalent of the reference's (commented-out) adaptive-nugget retry
+    loop (reference meanfield.py:25-60)."""
     t = jnp.asarray(t)
     if _k.is_nonstationary(structure):
         return _k.evaluate(structure, params, t1=t[:, None], t2=t[None, :])
     r = t[:, None] - t[None, :]
     K = _k.evaluate(structure, params, r=r)
-    return K + nugget * jnp.eye(t.shape[0], dtype=K.dtype)
+    eps = jnp.finfo(K.dtype).eps
+    jitter = jnp.maximum(jnp.asarray(nugget, dtype=K.dtype),
+                         F32_JITTER_MULT * eps * jnp.trace(K))
+    return K + jitter * jnp.eye(t.shape[0], dtype=K.dtype)
+
+
+def psd_jitter(S):
+    """Per-matrix trace-scaled jitter for a batch of (nearly) PSD
+    matrices (B, N, N): returns S + eps·tr(S)·I, a no-op at f64 scales
+    and the f32 safety margin for posterior-covariance Choleskys."""
+    eps = jnp.finfo(S.dtype).eps
+    tr = jnp.trace(S, axis1=-2, axis2=-1)[..., None, None]
+    return S + F32_JITTER_MULT * eps * tr * jnp.eye(S.shape[-1],
+                                                    dtype=S.dtype)
 
 
 def cross_kernel_matrix(structure, params, t_star, t):
