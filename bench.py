@@ -40,10 +40,8 @@ def _problem_data(N):
     return t, data
 
 
-def measure_ours():
-    import jax
+def _build_gprn():
     import gpyrn_tpu as g
-
     t, data = _problem_data(N)
     gprn = g.inference(1, t, *data)
     gprn.set_components(
@@ -51,6 +49,12 @@ def measure_ours():
         [g.covfunc.SquaredExponential(1.0 + 0.05 * k, 30.0)
          for k in range(3)],
         [None] * 3, [0.1] * 3)
+    return gprn
+
+
+def measure_ours():
+    """Headline: float32 30-sweep ELBO+gradient wall-clock."""
+    gprn = _build_gprn()
     eng = gprn.engine
     theta = gprn._theta()
     tt = np.asarray(gprn.time, dtype=float)
@@ -71,6 +75,39 @@ def measure_ours():
         times.append(time.perf_counter() - t0)
     ok = bool(np.isfinite(v) and np.all(np.isfinite(grad)))
     return float(np.median(times)) * 1e3, v, ok
+
+
+def measure_f64_parity():
+    """float64 fit on device: exact reference-parity numerics.  Returns
+    (ms for N_SWEEPS-equivalent, elbo) or (None, None) if x64 compile is
+    unavailable in the time budget."""
+    import jax
+    if os.environ.get("GPYRN_BENCH_SKIP_F64") == "1":
+        return None, None
+    try:
+        jax.config.update("jax_enable_x64", True)
+        gprn = _build_gprn()
+        eng = gprn.engine
+        theta = gprn._theta()
+        tt = np.asarray(gprn.time, dtype=float)
+        mu0, var0 = eng.init_mu_var(jnp64(theta), gprn.y)
+        out = eng.elbo_fit(jnp64(theta), jnp64(tt), jnp64(gprn.y),
+                           jnp64(gprn.yerr2), mu0, var0, 100)
+        elbo = float(out[0])
+        t0 = time.perf_counter()
+        out = eng.elbo_fit(jnp64(theta), jnp64(tt), jnp64(gprn.y),
+                           jnp64(gprn.yerr2), mu0, var0, 100)
+        elbo = float(out[0])
+        iters = max(int(out[3]), 1)
+        wall = time.perf_counter() - t0
+        return wall / iters * N_SWEEPS * 1e3, elbo
+    except Exception:
+        return None, None
+
+
+def jnp64(x):
+    import jax.numpy as jnp
+    return jnp.asarray(np.asarray(x), dtype=jnp.float64)
 
 
 _BASELINE_SNIPPET = r"""
@@ -140,9 +177,10 @@ def measure_baseline():
 
 def main():
     ours_ms, elbo, ok = measure_ours()
+    f64_ms, f64_elbo = measure_f64_parity()
     base_ms = measure_baseline()
     vs = (base_ms / ours_ms) if (base_ms and ok) else float("nan")
-    print(json.dumps({
+    out = {
         "metric": f"elbo_grad_30sweeps_walltime_N{N}_p3_QP_GPRN",
         "value": round(ours_ms, 3),
         "unit": "ms",
@@ -150,7 +188,13 @@ def main():
         "elbo": elbo,
         "finite": ok,
         "baseline_ms": round(base_ms, 1) if base_ms else None,
-    }))
+    }
+    if f64_ms is not None:
+        out["f64_fit_30sweep_ms"] = round(f64_ms, 1)
+        out["f64_elbo"] = f64_elbo
+        out["f64_vs_baseline"] = round(base_ms / f64_ms, 2) if base_ms \
+            else None
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -61,6 +61,7 @@ class inference:
         self._mu_var_iters = 0
         self.update_muvar_after = 50
         self.elbo_max_iter = 5000
+        self.refine_sweeps = 3      # f64 polish sweeps in mixed precision
         self.verbose = False
         self._engine = None
         self._lattice_axis = None
@@ -365,26 +366,47 @@ class inference:
         return self.ELBOcalc()[0]
 
     def ELBOcalc(self, nodes=None, weights=None, means=None, jitters=None,
-                 max_iter=None, mu=None, var=None):
+                 max_iter=None, mu=None, var=None, precision=None):
         """Run the coordinate-ascent fit of the variational parameters and
         return ``(ELBO, mu, var, iterNumber)``.
 
         mu/var may be arrays or 'init' | 'random' | 'previous'
-        (reference meanfield.py:561-649)."""
+        (reference meanfield.py:561-649).
+
+        ``precision='mixed'`` runs the bulk of the coordinate ascent in
+        float32 (fast on the MXU) and then polishes with
+        ``self.refine_sweeps`` float64 sweeps, evaluating the final ELBO
+        at reference fidelity — the TPU-native answer to the reference's
+        all-float64 requirement.  Requires x64 enabled."""
         theta = self._theta(nodes, weights, means, jitters)
         mu0, var0 = self._resolve_mu_var(mu, var, theta)
         if max_iter is None:
             max_iter = 10000
 
-        elbo, mu_out, var_out, n_iter, converged, trace = \
-            self.engine.elbo_fit(
-                theta, np.asarray(self.time, dtype=float), self.y,
-                self.yerr2, mu0, var0, max_iter)
+        t_arr = np.asarray(self.time, dtype=float)
+        if precision == 'mixed':
+            f32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.float32)  # noqa: E731
+            elbo32, mu32, var32, n_iter, converged, trace = \
+                self.engine.elbo_fit(f32(theta), f32(t_arr), f32(self.y),
+                                     f32(self.yerr2), f32(mu0), f32(var0),
+                                     max_iter)
+            elbo, mu_out, var_out = self.engine.elbo_refine(
+                theta, t_arr, self.y, self.yerr2,
+                jnp.asarray(np.asarray(mu32), dtype=jnp.float64),
+                jnp.asarray(np.asarray(var32), dtype=jnp.float64),
+                self.refine_sweeps)
+            hist_len = int(n_iter)
+            n_iter = int(n_iter) + self.refine_sweeps
+        else:
+            elbo, mu_out, var_out, n_iter, converged, trace = \
+                self.engine.elbo_fit(
+                    theta, t_arr, self.y, self.yerr2, mu0, var0, max_iter)
+            hist_len = int(n_iter)
         elbo = float(elbo)
         mu_out = np.asarray(mu_out)
         var_out = np.asarray(var_out)
         # per-iteration ELBO trajectory (diagnostics; trimmed to n_iter)
-        self.elbo_history = np.asarray(trace)[:int(n_iter)]
+        self.elbo_history = np.asarray(trace)[:hist_len]
         if bool(converged):
             # the reference caches the variational state only on
             # convergence (meanfield.py:643-646)

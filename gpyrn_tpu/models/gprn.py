@@ -152,6 +152,8 @@ class Engine(NamedTuple):
     elbo_fixed: Callable       # (theta, t, y, yerr2, mu, var, n_sweeps)
     #                          -> elbo   (differentiable; scan)
     elbo_value_and_grad: Callable  # same args -> (elbo, delbo/dtheta)
+    elbo_refine: Callable      # (theta, t, y, yerr2, mu, var, n_sweeps)
+    #                          -> (elbo, mu, var)  (f64 polish stage)
     predict: Callable          # (theta, t, y, yerr2, mu, var, tstar)
     #                          -> (means, vars, node_pred, weight_pred)
     sweep_once: Callable       # single ELBOaux step (for tests/inspection)
@@ -422,6 +424,30 @@ def make_engine(spec: GPRNSpec,
             step, (muF0, varF0, muW0, varW0), None, length=n_sweeps)
         return elbos[-1]
 
+    def elbo_refine(theta, t, y, yerr2, mu0, var0, n_sweeps: int):
+        """``n_sweeps`` coordinate-ascent sweeps returning the full
+        state ``(elbo, mu, var)`` — the float64 polish stage of the
+        mixed-precision fit (bulk f32 sweeps converge the variational
+        state fast; a few f64 sweeps then land on the true-model fixed
+        point and evaluate the ELBO at reference fidelity)."""
+        Kf, Kw_flat, L_all, y_c, y_raw, variance = _prepare(
+            theta, t, y, yerr2)
+        muF0, muW0 = _u_split(jnp.asarray(mu0).ravel())
+        varF0, varW0 = _u_split(jnp.asarray(var0).ravel())
+
+        def step(carry, _):
+            muF, varF, muW, varW = carry
+            elbo, mu_f, varf, mu_w, varw = _sweep(
+                Kf, Kw_flat, L_all, y_c, y_raw, variance,
+                muF, varF, muW, varW)
+            return (mu_f, varf, mu_w, varw), elbo
+
+        (muF, varF, muW, varW), elbos = lax.scan(
+            step, (muF0, varF0, muW0, varW0), None, length=n_sweeps)
+        mu = jnp.concatenate([muF.ravel(), muW.ravel()])
+        var = jnp.concatenate([varF.ravel(), varW.ravel()])
+        return elbos[-1], mu, var
+
     def _value_and_grad(theta, t, y, yerr2, mu0, var0, n_sweeps: int):
         return jax.value_and_grad(elbo_fixed)(theta, t, y, yerr2, mu0, var0,
                                               n_sweeps)
@@ -487,6 +513,7 @@ def make_engine(spec: GPRNSpec,
         elbo_fit=jit(elbo_fit),
         elbo_fixed=jit(elbo_fixed, static_argnums=(6,)),
         elbo_value_and_grad=jit(_value_and_grad, static_argnums=(6,)),
+        elbo_refine=jit(elbo_refine, static_argnums=(6,)),
         predict=jit(predict),
         sweep_once=jit(sweep_once),
     )
