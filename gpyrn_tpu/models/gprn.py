@@ -454,19 +454,11 @@ def make_engine(spec: GPRNSpec,
 
     # ---- posterior predictive (meanfield.py:1289-1379, _gp.py:107-138) ----
 
-    def _gp_conditional(structure, params, t, tstar, m, v):
-        K = kernel_matrix(structure, params, t, PREDICT_NUGGET) + jnp.diag(v)
-        L = jnp.linalg.cholesky(K)
-        sol = cho_solve((L, True), m)
-        Ks = cross_kernel_matrix(structure, params, tstar, t)
-        Kss_diag = jnp.diagonal(
-            kernel_matrix(structure, params, tstar, PREDICT_NUGGET))
-        mean = Ks @ sol
-        var = Kss_diag - jnp.einsum("nk,kn->n", Ks, cho_solve((L, True),
-                                                              Ks.T))
-        return mean, var
-
     def predict(theta, t, y, yerr2, mu, var, tstar):
+        """Batched GP conditionals over the whole q·(1+p) lattice: the
+        per-kernel K builds stay unrolled (different structures), but the
+        Choleskys and solves run as single batched ops — same layout as
+        the training sweep."""
         node_p, weight_p, _, jitters = unpack_parameters(spec, theta)
         node_c = _core(node_p, node_maps)
         weight_c = _core(weight_p, weight_maps)
@@ -475,25 +467,33 @@ def make_engine(spec: GPRNSpec,
         tstar = jnp.atleast_1d(jnp.asarray(tstar))
         m_star = _mean_values(theta, tstar)                     # (p, n*)
 
-        n_pred, n_var = [], []
-        for j in range(q):
-            mj, vj = _gp_conditional(spec.node_structs[j], node_c[j],
-                                     t, tstar, muF[j], varF[j])
-            n_pred.append(mj)
-            n_var.append(vj)
-        n_pred = jnp.stack(n_pred)                              # (q, n*)
-        n_var = jnp.stack(n_var)
+        structs = list(spec.node_structs) + list(spec.weight_structs)
+        all_params = list(node_c) + list(weight_c)
+        # reference weight-lattice order in prediction is (i·q + j) —
+        # muW[i, j] for j-major weight list [j*p + i]
+        m_rows = jnp.concatenate([
+            muF, muW.transpose(1, 0, 2).reshape(q * p, -1)])    # (B, N)
+        v_rows = jnp.concatenate([
+            varF, varW.transpose(1, 0, 2).reshape(q * p, -1)])
 
-        w_pred, w_var = [], []
-        for j in range(q):
-            for i in range(p):
-                mw, vw = _gp_conditional(spec.weight_structs[j * p + i],
-                                         weight_c[j * p + i],
-                                         t, tstar, muW[i, j], varW[i, j])
-                w_pred.append(mw)
-                w_var.append(vw)
-        w_pred = jnp.stack(w_pred).reshape(q, p, -1)            # (q, p, n*)
-        w_var = jnp.stack(w_var).reshape(q, p, -1)
+        K_all = jnp.stack([kernel_matrix(s, cp, t, PREDICT_NUGGET)
+                           for s, cp in zip(structs, all_params)])
+        Ks_all = jnp.stack([cross_kernel_matrix(s, cp, tstar, t)
+                            for s, cp in zip(structs, all_params)])
+        Kss_diag = jnp.stack([jnp.diagonal(
+            kernel_matrix(s, cp, tstar, PREDICT_NUGGET))
+            for s, cp in zip(structs, all_params)])             # (B, n*)
+
+        L = jnp.linalg.cholesky(K_all + vmap(jnp.diag)(v_rows))
+        sol = vmap(lambda l, b: cho_solve((l, True), b))(L, m_rows)
+        means = jnp.einsum("bsk,bk->bs", Ks_all, sol)           # (B, n*)
+        inner = vmap(lambda l, b: cho_solve((l, True), b))(
+            L, Ks_all.transpose(0, 2, 1))                       # (B, N, n*)
+        vars_ = Kss_diag - jnp.einsum("bsk,bks->bs", Ks_all, inner)
+
+        n_pred, n_var = means[:q], vars_[:q]                    # (q, n*)
+        w_pred = means[q:].reshape(q, p, -1)
+        w_var = vars_[q:].reshape(q, p, -1)
 
         jitt2 = jitters ** 2
         # combine (meanfield.py:1364-1372); note the reference adds jitt²

@@ -31,6 +31,32 @@ import os
 # (the scaled term stays far below the reference's fixed nuggets).
 F32_JITTER_MULT = float(os.environ.get("GPYRN_TPU_F32_JITTER_MULT", "32"))
 
+# Pallas blockwise kernel-matrix builder policy: 'auto' uses it on TPU
+# for float32 problems with N >= threshold and supported structures
+# (the large-N path, SURVEY.md §5.7); True forces, False disables.
+PALLAS_KERNELS = os.environ.get("GPYRN_TPU_PALLAS_KERNELS", "auto")
+PALLAS_MIN_N = int(os.environ.get("GPYRN_TPU_PALLAS_MIN_N", "2048"))
+
+
+def set_pallas_kernels(mode) -> None:
+    """Set the Pallas kernel-builder policy: True | False | 'auto'."""
+    global PALLAS_KERNELS
+    PALLAS_KERNELS = mode
+
+
+def _use_pallas(structure, t) -> bool:
+    if PALLAS_KERNELS in (False, "0", "off"):
+        return False
+    from gpyrn_tpu.ops.pallas_kernels import pallas_supported
+    if not pallas_supported(structure):
+        return False
+    if PALLAS_KERNELS in (True, "1", "on"):
+        return True
+    import jax
+    return (jax.default_backend() == "tpu"
+            and t.dtype == jnp.float32
+            and t.shape[0] >= PALLAS_MIN_N)
+
 __all__ = [
     "TRAIN_NUGGET", "PREDICT_NUGGET",
     "kernel_matrix", "cross_kernel_matrix", "cholesky_nugget",
@@ -51,6 +77,10 @@ def kernel_matrix(structure, params, t, nugget=TRAIN_NUGGET):
     t = jnp.asarray(t)
     if _k.is_nonstationary(structure):
         return _k.evaluate(structure, params, t1=t[:, None], t2=t[None, :])
+    if _use_pallas(structure, t):
+        from gpyrn_tpu.ops.pallas_kernels import pallas_kernel_matrix
+        return pallas_kernel_matrix(structure, jnp.asarray(params), t,
+                                    nugget, F32_JITTER_MULT)
     r = t[:, None] - t[None, :]
     K = _k.evaluate(structure, params, r=r)
     eps = jnp.finfo(K.dtype).eps
