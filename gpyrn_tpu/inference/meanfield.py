@@ -62,6 +62,7 @@ class inference:
         self.update_muvar_after = 50
         self.elbo_max_iter = 5000
         self.refine_sweeps = 3      # f64 polish sweeps in mixed precision
+        self.mixed_tol = 1e-4       # f32 state-convergence tolerance
         self.verbose = False
         self._engine = None
         self._lattice_axis = None
@@ -385,17 +386,20 @@ class inference:
 
         t_arr = np.asarray(self.time, dtype=float)
         if precision == 'mixed':
+            # f32 updates-only fit with the EXACT reference nugget: the
+            # (K + D)⁻¹ update solves are f32-safe, so this converges to
+            # the true-model fixed point — only the ELBO terms need f64
             f32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.float32)  # noqa: E731
-            elbo32, mu32, var32, n_iter, converged, trace = \
-                self.engine.elbo_fit(f32(theta), f32(t_arr), f32(self.y),
-                                     f32(self.yerr2), f32(mu0), f32(var0),
-                                     max_iter)
+            mu32, var32, n_iter, converged = self.engine.fit_state(
+                f32(theta), f32(t_arr), f32(self.y), f32(self.yerr2),
+                f32(mu0), f32(var0), max_iter, self.mixed_tol)
             elbo, mu_out, var_out = self.engine.elbo_refine(
                 theta, t_arr, self.y, self.yerr2,
                 jnp.asarray(np.asarray(mu32), dtype=jnp.float64),
                 jnp.asarray(np.asarray(var32), dtype=jnp.float64),
                 self.refine_sweeps)
-            hist_len = int(n_iter)
+            trace = np.full(1, float(elbo))
+            hist_len = 1
             n_iter = int(n_iter) + self.refine_sweeps
         else:
             elbo, mu_out, var_out, n_iter, converged, trace = \

@@ -47,7 +47,7 @@ from gpyrn_tpu.ops import kernels as kernels_mod
 from gpyrn_tpu.ops import means as means_mod
 from gpyrn_tpu.ops.linalg import (PREDICT_NUGGET, TRAIN_NUGGET,
                                   cross_kernel_matrix, kernel_matrix,
-                                  psd_jitter)
+                                  kernel_matrix_plain, psd_jitter)
 
 __all__ = [
     "GPRNSpec", "spec_from_components", "pack_parameters",
@@ -154,6 +154,9 @@ class Engine(NamedTuple):
     elbo_value_and_grad: Callable  # same args -> (elbo, delbo/dtheta)
     elbo_refine: Callable      # (theta, t, y, yerr2, mu, var, n_sweeps)
     #                          -> (elbo, mu, var)  (f64 polish stage)
+    fit_state: Callable        # (theta, t, y, yerr2, mu, var, max_iter,
+    #                             tol) -> (mu, var, n_iter, converged)
+    #                          updates-only fit, exact nugget, f32-safe
     predict: Callable          # (theta, t, y, yerr2, mu, var, tstar)
     #                          -> (means, vars, node_pred, weight_pred)
     sweep_once: Callable       # single ELBOaux step (for tests/inspection)
@@ -343,6 +346,90 @@ def make_engine(spec: GPRNSpec,
         elbo = (logl + logp + ent) / q
         return elbo, mu_f, dSf, mu_w, dSw_qp.transpose(1, 0, 2)
 
+    def _sweep_updates(Kf, Kw_flat, y_c, variance, muF, varF, muW, varW):
+        """The coordinate-ascent UPDATES alone (eqs. 16-19) — no ELBO
+        terms, hence no Cholesky of K or Σ.  (K + D)⁻¹ with the
+        well-conditioned data-dependent diagonal D is f32-safe even with
+        the reference's tiny 1e-6 nugget, so this path converges to the
+        true-model fixed point in float32; the mixed-precision fit then
+        polishes and evaluates the ELBO in float64."""
+        qp = q * p
+        dv = jnp.sum((muW * muW + varW) / variance[:, None, :], axis=0)
+        Af = Kf + vmap(jnp.diag)(1.0 / dv)
+        Laf = _chol_batched(Af)
+        Bf = _trisolve(Laf, Kf)
+        sigma_f = Kf - jnp.einsum("qki,qkj->qij", Bf, Bf)
+        total = jnp.einsum("pqn,qn->pn", muW, muF)
+        resid = (y_c[None, :, :] - total[None, :, :] +
+                 muW.transpose(1, 0, 2) * muF[:, None, :])
+        pred = jnp.einsum("qpn,pqn->qn", resid,
+                          muW / variance[:, None, :])
+        mu_f = jnp.einsum("qij,qj->qi", sigma_f, pred)
+        dSf = jnp.diagonal(sigma_f, axis1=1, axis2=2)
+
+        dv2 = mu_f * mu_f + dSf
+        ratio = (variance[None, :, :] /
+                 dv2[:, None, :]).reshape(qp, N)
+        Aw = Kw_flat + vmap(jnp.diag)(ratio)
+        Law = _chol_batched(Aw)
+        Bw = _trisolve(Law, Kw_flat)
+        sigma_w = Kw_flat - jnp.einsum("aki,akj->aij", Bw, Bw)
+        total2 = jnp.einsum("pqn,qn->pn", muW, mu_f)
+        resid2 = (y_c[None, :, :] - total2[None, :, :] +
+                  muW.transpose(1, 0, 2) * mu_f[:, None, :])
+        pred2 = (resid2 * mu_f[:, None, :] /
+                 variance[None, :, :]).reshape(qp, N)
+        mu_w_flat = jnp.einsum("aij,aj->ai", sigma_w, pred2)
+        mu_w = mu_w_flat.reshape(q, p, N).transpose(1, 0, 2)
+        dSw = jnp.diagonal(sigma_w, axis1=1, axis2=2).reshape(q, p, N)
+        return mu_f, dSf, mu_w, dSw.transpose(1, 0, 2)
+
+    def fit_state(theta, t, y, yerr2, mu0, var0, max_iter, tol):
+        """Iterate the updates-only sweep until the variational means
+        stabilize: max |Δμ| / (1 + max |μ|) < tol.  Returns
+        (mu, var, n_iter, converged).  Keeps the reference's exact
+        nugget (no f32 trace-scaled jitter) — see `_sweep_updates`."""
+        node_p, weight_p, mean_p, jitters = unpack_parameters(spec, theta)
+        node_c = _core(node_p, node_maps)
+        weight_c = _core(weight_p, weight_maps)
+        Kf = jnp.stack([kernel_matrix_plain(s, cp, t, TRAIN_NUGGET)
+                        for s, cp in zip(spec.node_structs, node_c)])
+        Kw_flat = jnp.stack([
+            kernel_matrix_plain(s, cp, t, TRAIN_NUGGET)
+            for s, cp in zip(spec.weight_structs, weight_c)])
+        Kw_flat = _shard_lat(Kw_flat, 1)
+        m = _mean_values(theta, t)
+        y_c = jnp.asarray(y) - m
+        variance = jitters[:, None] ** 2 + jnp.asarray(yerr2)
+
+        muF0, muW0 = _u_split(jnp.asarray(mu0).ravel())
+        varF0, varW0 = _u_split(jnp.asarray(var0).ravel())
+
+        def body(state):
+            muF, varF, muW, varW, _, it, done = state
+            mu_f, varf, mu_w, varw = _sweep_updates(
+                Kf, Kw_flat, y_c, variance, muF, varF, muW, varW)
+            scale = 1.0 + jnp.maximum(jnp.max(jnp.abs(mu_f)),
+                                      jnp.max(jnp.abs(mu_w)))
+            delta = jnp.maximum(jnp.max(jnp.abs(mu_f - muF)),
+                                jnp.max(jnp.abs(mu_w - muW))) / scale
+            it = it + 1
+            done = delta < tol
+            return mu_f, varf, mu_w, varw, delta, it, done
+
+        def cond(state):
+            *_, it, done = state
+            return (~done) & (it < max_iter)
+
+        init = (muF0, varF0, muW0, varW0,
+                jnp.asarray(jnp.inf, muF0.dtype),
+                jnp.array(0, jnp.int32), jnp.array(False))
+        muF, varF, muW, varW, delta, it, done = lax.while_loop(
+            cond, body, init)
+        mu = jnp.concatenate([muF.ravel(), muW.ravel()])
+        var = jnp.concatenate([varF.ravel(), varW.ravel()])
+        return mu, var, it, done
+
     # ---- full fit: while_loop with reference stopping rule -----------------
 
     def _prepare(theta, t, y, yerr2):
@@ -514,6 +601,7 @@ def make_engine(spec: GPRNSpec,
         elbo_fixed=jit(elbo_fixed, static_argnums=(6,)),
         elbo_value_and_grad=jit(_value_and_grad, static_argnums=(6,)),
         elbo_refine=jit(elbo_refine, static_argnums=(6,)),
+        fit_state=jit(fit_state),
         predict=jit(predict),
         sweep_once=jit(sweep_once),
     )

@@ -61,6 +61,7 @@ __all__ = [
     "TRAIN_NUGGET", "PREDICT_NUGGET",
     "kernel_matrix", "cross_kernel_matrix", "cholesky_nugget",
     "chol_solve", "batched_chol", "batched_chol_solve", "psd_jitter",
+    "kernel_matrix_plain", "set_pallas_kernels",
 ]
 
 
@@ -87,6 +88,21 @@ def kernel_matrix(structure, params, t, nugget=TRAIN_NUGGET):
     jitter = jnp.maximum(jnp.asarray(nugget, dtype=K.dtype),
                          F32_JITTER_MULT * eps * jnp.trace(K))
     return K + jitter * jnp.eye(t.shape[0], dtype=K.dtype)
+
+
+def kernel_matrix_plain(structure, params, t, nugget=TRAIN_NUGGET):
+    """Dense K(t, t) with the FIXED reference nugget only (no f32
+    trace-scaling).  Safe wherever K is only used inside (K + D)⁻¹
+    solves with a well-conditioned diagonal D — the coordinate-ascent
+    updates — and required there for the mixed-precision fit to converge
+    to the true-model (nugget 1e-6) fixed point."""
+    t = jnp.asarray(t)
+    if _k.is_nonstationary(structure):
+        return _k.evaluate(structure, params, t1=t[:, None], t2=t[None, :])
+    r = t[:, None] - t[None, :]
+    K = _k.evaluate(structure, params, r=r)
+    return K + jnp.asarray(nugget, dtype=K.dtype) * \
+        jnp.eye(t.shape[0], dtype=K.dtype)
 
 
 def psd_jitter(S):
