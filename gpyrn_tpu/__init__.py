@@ -20,6 +20,7 @@ from gpyrn_tpu.ops import means as meanfunc    # noqa: E402
 from gpyrn_tpu.inference import meanfield      # noqa: E402
 from gpyrn_tpu.inference import evidence       # noqa: E402
 from gpyrn_tpu.inference import nonparametric  # noqa: E402
+from gpyrn_tpu.inference import priors         # noqa: E402
 from gpyrn_tpu.inference.meanfield import inference  # noqa: E402
 from gpyrn_tpu import datasets                 # noqa: E402
 
@@ -30,6 +31,6 @@ from gpyrn_tpu.ops.kernels import (SquaredExponential,        # noqa: E402
 
 __all__ = [
     "inference", "covfunc", "meanfunc", "meanfield", "evidence",
-    "nonparametric", "datasets",
+    "nonparametric", "priors", "datasets",
     "Constant", "Linear", "SquaredExponential", "QuasiPeriodic",
 ]

@@ -347,6 +347,14 @@ class inference:
             return mu0, var0
         return np.asarray(mu).ravel(), np.asarray(var).ravel()
 
+    def _u_to_fhatW(self, u):
+        """Split a flat d-vector into node means (1, q, N) and weight
+        means (p, q, N) (reference meanfield.py:473-489)."""
+        u = np.asarray(u).ravel()
+        f = u[:self.q * self.N].reshape((1, self.q, self.N))
+        w = u[self.q * self.N:].reshape((self.p, self.q, self.N))
+        return f, w
+
     def _initMuVar(self, nodes, weights, jitters):
         theta = self._theta(nodes=nodes, weights=weights, jitters=jitters)
         mu, var = self.engine.init_mu_var(theta, self.y)
@@ -543,6 +551,8 @@ class inference:
 
         ``sampler='native'`` uses the built-in vmapped affine-invariant
         ensemble sampler (all walkers' ELBO fits batched on device);
+        ``sampler='hmc'`` uses vmapped Hamiltonian Monte Carlo with
+        ∇ELBO (requires priors from :mod:`gpyrn_tpu.inference.priors`);
         ``sampler='emcee'`` uses emcee if installed (host parity path).
         """
         from gpyrn_tpu.inference.ensemble import run_ensemble, EnsembleResult
@@ -558,6 +568,9 @@ class inference:
         if missing:
             raise ValueError(f'missing priors for parameters: {missing}')
 
+        if sampler == 'hmc':
+            from gpyrn_tpu.inference.hmc import run_hmc
+            return run_hmc(self, priors, n_samples=niter, p0=p0, **kwargs)
         if sampler == 'emcee':
             return self._mcmc_emcee(priors, free_names, p0, niter, **kwargs)
 
@@ -697,6 +710,11 @@ class inference:
         from gpyrn_tpu.utils.plots import plot_prediction
         return plot_prediction(self, nn=nn, tstar=tstar, over=over,
                                title=title)
+
+    def plot_structure(self):
+        """Graphical-model sketch of the GPRN (unimplemented in the
+        reference too, meanfield.py:1405-1416)."""
+        raise NotImplementedError
 
     # ------------------------------------------------------------------
     # checkpoint / resume

@@ -213,6 +213,41 @@ class inference:
         w = u[self.q * self.N:].reshape((self.p, self.q, self.N))
         return f, w
 
+    def sampleIt(self, latentFunc, time=None, rng=None):
+        """A sample function drawn from a kernel's GP prior
+        (reference nonparametric.py:193-215)."""
+        rng = np.random.default_rng() if rng is None else rng
+        if time is None:
+            time = self.time
+        time = np.asarray(time, dtype=float)
+        from gpyrn_tpu.ops.linalg import TRAIN_NUGGET
+        r = time[:, None] - time[None, :]
+        K = np.asarray(kernels_mod.evaluate(latentFunc.structure,
+                                            latentFunc.core_params(), r=r))
+        K = K + TRAIN_NUGGET * np.eye(time.size)
+        w, V = np.linalg.eigh(K)
+        w = np.clip(w, 0.0, None)
+        return V @ (np.sqrt(w) * rng.standard_normal(time.size))
+
+    def ELBOaux(self, nodes, weights, means, jitters, mu, var):
+        """Single ELBO evaluation at given mixture parameters
+        (reference nonparametric.py:272-327).  ``var`` holds per-component
+        standard deviations."""
+        if isinstance(means, (int, float)) or means is None:
+            means = [means]
+        means = [None if isinstance(m, (int, float)) or m is None else m
+                 for m in means]
+        if len(means) == 1 and self.p > 1:
+            means = means * self.p
+        jitters = np.atleast_1d(np.asarray(jitters, dtype=float))
+        eng = self._engine(nodes, weights, means)
+        theta = _core.pack_parameters(nodes, weights, means, jitters)
+        logs = np.log(np.abs(np.atleast_1d(np.asarray(var))) + 1e-12)
+        if logs.size == 1:
+            logs = np.full(self.k, float(logs))
+        return float(eng.elbo(theta, self.time, self.y, self.yerr2,
+                              np.asarray(mu, dtype=float), logs))
+
     def _engine(self, nodes, weights, means):
         spec = _core.spec_from_components(nodes, weights, means, self.N)
         core_maps = None

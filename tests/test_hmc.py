@@ -1,0 +1,79 @@
+"""HMC sampler + differentiable prior tests."""
+import numpy as np
+import pytest
+import scipy.stats as st
+
+import gpyrn_tpu as g
+from gpyrn_tpu.inference import priors as pr
+from gpyrn_tpu.inference.hmc import run_hmc
+
+
+def test_prior_logpdfs_match_scipy():
+    x = np.array([0.3, 1.0, 2.5])
+    np.testing.assert_allclose(pr.Normal(1.0, 2.0).logpdf(x),
+                               st.norm(1.0, 2.0).logpdf(x), rtol=1e-6)
+    np.testing.assert_allclose(
+        pr.LogNormal(0.5, 0.8).logpdf(x),
+        st.lognorm(s=0.8, scale=np.exp(0.5)).logpdf(x), rtol=1e-6)
+    np.testing.assert_allclose(pr.Uniform(0.0, 3.0).logpdf(x),
+                               st.uniform(0, 3).logpdf(x), rtol=1e-6)
+    np.testing.assert_allclose(pr.Gamma(2.0, 1.5).logpdf(x),
+                               st.gamma(2.0, scale=1.5).logpdf(x),
+                               rtol=1e-6)
+    np.testing.assert_allclose(pr.InvGamma(2.0, 1.5).logpdf(x),
+                               st.invgamma(2.0, scale=1.5).logpdf(x),
+                               rtol=1e-6)
+    np.testing.assert_allclose(pr.HalfNormal(2.0).logpdf(x),
+                               st.halfnorm(scale=2.0).logpdf(x), rtol=1e-6)
+
+
+def test_prior_support_boundaries():
+    assert pr.LogNormal(0, 1).logpdf(-1.0) == -np.inf
+    assert pr.Uniform(0, 1).logpdf(2.0) == -np.inf
+    assert pr.Jeffreys(0.1, 10).logpdf(0.01) == -np.inf
+    assert np.isfinite(pr.Jeffreys(0.1, 10).logpdf(1.0))
+
+
+def test_prior_rvs_within_support():
+    rng = np.random.default_rng(0)
+    for p in (pr.LogNormal(0, 1), pr.Gamma(2, 1), pr.InvGamma(2, 1),
+              pr.HalfNormal(1.0), pr.Jeffreys(0.1, 10)):
+        s = p.rvs(size=100, rng=rng)
+        assert np.all(s > 0)
+    assert np.isfinite(pr.Normal(0, 1).std())
+
+
+def test_hmc_smoke(tiny_dataset):
+    t, y, yerr = tiny_dataset
+    gprn = g.inference(1, t, y, yerr)
+    gprn.set_components([g.covfunc.Periodic(1.0, 10.0, 0.5)],
+                        [g.covfunc.SquaredExponential(1.0, 5.0)],
+                        [None], [0.1])
+    gprn.ELBOcalc()
+    priors = {
+        'node1.theta': pr.LogNormal(0.0, 0.5),
+        'node1.P': pr.Normal(10.0, 1.0),
+        'node1.ell': pr.LogNormal(np.log(0.5), 0.5),
+        'weight1.theta': pr.LogNormal(0.0, 0.5),
+        'weight1.ell': pr.LogNormal(np.log(5.0), 0.5),
+        'jitter1': pr.LogNormal(np.log(0.1), 0.5),
+    }
+    res = run_hmc(gprn, priors, n_samples=10, n_warmup=5, n_chains=2,
+                  n_leapfrog=3, n_sweeps=8,
+                  p0=gprn.get_parameters(), seed=0)
+    assert res.chain.shape == (10, 2, 6)
+    assert np.all(res.chain > 0)
+    assert np.all(np.isfinite(res.log_prob))
+    assert 0.0 <= res.acceptance <= 1.0
+    flat = res.get_chain(flat=True)
+    assert flat.shape == (20, 6)
+
+
+def test_hmc_missing_prior_raises(tiny_dataset):
+    t, y, yerr = tiny_dataset
+    gprn = g.inference(1, t, y, yerr)
+    gprn.set_components([g.covfunc.Periodic(1.0, 10.0, 0.5)],
+                        [g.covfunc.SquaredExponential(1.0, 5.0)],
+                        [None], [0.1])
+    with pytest.raises(ValueError, match='missing priors'):
+        run_hmc(gprn, {'node1.theta': pr.Normal(1, 1)}, n_samples=1)
