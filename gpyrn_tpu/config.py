@@ -44,11 +44,14 @@ if _MATMUL_PRECISION:
 # compiles are expensive — cache them across processes.
 _CACHE_DIR = os.environ.get("GPYRN_TPU_COMPILE_CACHE",
                             os.path.expanduser("~/.cache/gpyrn_tpu_xla"))
+# only cache accelerator compiles: CPU AOT results compiled under one
+# host-feature set can SIGILL when loaded under another, and CPU
+# compiles are cheap anyway
+_PLATFORM = os.environ.get("JAX_PLATFORMS", "") or ""
+if "cpu" in _PLATFORM:
+    _CACHE_DIR = None
 if _CACHE_DIR and _CACHE_DIR != "0":
-    # scope by requested platform: CPU AOT results compiled under one
-    # host-feature set can SIGILL when loaded under another
-    _CACHE_DIR = os.path.join(
-        _CACHE_DIR, os.environ.get("JAX_PLATFORMS", "default") or "default")
+    _CACHE_DIR = os.path.join(_CACHE_DIR, _PLATFORM or "default")
     try:
         os.makedirs(_CACHE_DIR, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
