@@ -99,6 +99,10 @@ def kernel_matrix_plain(structure, params, t, nugget=TRAIN_NUGGET):
     t = jnp.asarray(t)
     if _k.is_nonstationary(structure):
         return _k.evaluate(structure, params, t1=t[:, None], t2=t[None, :])
+    if _use_pallas(structure, t):
+        from gpyrn_tpu.ops.pallas_kernels import pallas_kernel_matrix
+        return pallas_kernel_matrix(structure, jnp.asarray(params), t,
+                                    nugget, 0.0)   # mult 0 ⇒ exact nugget
     r = t[:, None] - t[None, :]
     K = _k.evaluate(structure, params, r=r)
     return K + jnp.asarray(nugget, dtype=K.dtype) * \

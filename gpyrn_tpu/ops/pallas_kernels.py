@@ -66,11 +66,11 @@ def _build(structure, params, t_padded, jitter, n_valid: int,
     grid = (Np // TILE, Np // TILE)
     dtype = t_padded.dtype
 
-    def kernel_fn(params_ref, jit_ref, trow_ref, tcol_ref, out_ref):
+    def kernel_fn(params_ref, jit_ref, t_ref, out_ref):
         i = pl.program_id(0)
         j = pl.program_id(1)
-        trow = trow_ref[:]                       # (TILE,)
-        tcol = tcol_ref[:]
+        trow = t_ref[i, :]                       # (TILE,)
+        tcol = t_ref[j, :]
         r = trow.reshape(TILE, 1) - tcol.reshape(1, TILE)
         # SMEM only serves scalar loads: unroll the (static) param fetch
         p = [params_ref[0, k] for k in range(n_par)]
@@ -89,6 +89,12 @@ def _build(structure, params, t_padded, jitter, n_valid: int,
             out_ref[:, :] = K
 
     n_par = params.shape[0]
+    # the whole time vector rides along in VMEM as (n_tiles, TILE) —
+    # at most N·4 bytes (80 kB at N = 20k) — and each program indexes
+    # its row/col slices by program_id; this sidesteps Mosaic's
+    # sublane-divisibility constraint on small blocked vectors
+    t2d = t_padded.reshape(-1, TILE)
+    n_tiles = t2d.shape[0]
     if _HAS_PLTPU and not interpret:
         smem = pltpu.SMEM
         vmem = pltpu.VMEM
@@ -96,8 +102,8 @@ def _build(structure, params, t_padded, jitter, n_valid: int,
             pl.BlockSpec((1, n_par), lambda i, j: (0, 0),
                          memory_space=smem),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=smem),
-            pl.BlockSpec((TILE,), lambda i, j: (i,), memory_space=vmem),
-            pl.BlockSpec((TILE,), lambda i, j: (j,), memory_space=vmem),
+            pl.BlockSpec((n_tiles, TILE), lambda i, j: (0, 0),
+                         memory_space=vmem),
         ]
         out_specs = pl.BlockSpec((TILE, TILE), lambda i, j: (i, j),
                                  memory_space=vmem)
@@ -105,8 +111,7 @@ def _build(structure, params, t_padded, jitter, n_valid: int,
         in_specs = [
             pl.BlockSpec((1, n_par), lambda i, j: (0, 0)),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0)),
-            pl.BlockSpec((TILE,), lambda i, j: (i,)),
-            pl.BlockSpec((TILE,), lambda i, j: (j,)),
+            pl.BlockSpec((n_tiles, TILE), lambda i, j: (0, 0)),
         ]
         out_specs = pl.BlockSpec((TILE, TILE), lambda i, j: (i, j))
 
@@ -118,7 +123,7 @@ def _build(structure, params, t_padded, jitter, n_valid: int,
         out_shape=jax.ShapeDtypeStruct((Np, Np), dtype),
         interpret=interpret,
     )(params.reshape(1, -1).astype(dtype),
-      jitter.reshape(1, 1).astype(dtype), t_padded, t_padded)
+      jitter.reshape(1, 1).astype(dtype), t2d)
     return K[:n_valid, :n_valid]
 
 
