@@ -51,7 +51,9 @@ _PLATFORM = os.environ.get("JAX_PLATFORMS", "") or ""
 if "cpu" in _PLATFORM:
     _CACHE_DIR = None
 if _CACHE_DIR and _CACHE_DIR != "0":
-    _CACHE_DIR = os.path.join(_CACHE_DIR, _PLATFORM or "default")
+    # scope by the primary platform so "axon" and "axon,cpu" share
+    _CACHE_DIR = os.path.join(_CACHE_DIR,
+                              (_PLATFORM.split(",")[0] or "default"))
     try:
         os.makedirs(_CACHE_DIR, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)

@@ -63,6 +63,10 @@ class inference:
         self.elbo_max_iter = 5000
         self.refine_sweeps = 3      # f64 polish sweeps in mixed precision
         self.mixed_tol = 1e-4       # f32 state-convergence tolerance
+        self.refine_device = 'auto'  # 'auto'|'cpu'|None: where f64
+        # polish runs ('auto' prefers a CPU device when the default
+        # backend is TPU — software-emulated f64 there is slow at
+        # large N; run with JAX_PLATFORMS=tpu,cpu to make one available)
         self.verbose = False
         self._engine = None
         self._lattice_axis = None
@@ -330,6 +334,20 @@ class inference:
             nodes, weights, means, jitters)
         return _core.pack_parameters(nodes, weights, means, jitters)
 
+    def _refine_device_ctx(self):
+        """Device context for the f64 polish stage of the mixed fit."""
+        import contextlib
+        import jax
+        want_cpu = self.refine_device == 'cpu' or (
+            self.refine_device == 'auto'
+            and jax.default_backend() == 'tpu')
+        if want_cpu:
+            try:
+                return jax.default_device(jax.devices('cpu')[0])
+            except RuntimeError:
+                pass    # no CPU backend registered — stay on default
+        return contextlib.nullcontext()
+
     def _resolve_mu_var(self, mu, var, theta):
         eng = self.engine
         if mu is None or var is None:
@@ -401,11 +419,12 @@ class inference:
             mu32, var32, n_iter, converged = self.engine.fit_state(
                 f32(theta), f32(t_arr), f32(self.y), f32(self.yerr2),
                 f32(mu0), f32(var0), max_iter, self.mixed_tol)
-            elbo, mu_out, var_out = self.engine.elbo_refine(
-                theta, t_arr, self.y, self.yerr2,
-                jnp.asarray(np.asarray(mu32), dtype=jnp.float64),
-                jnp.asarray(np.asarray(var32), dtype=jnp.float64),
-                self.refine_sweeps)
+            with self._refine_device_ctx():
+                elbo, mu_out, var_out = self.engine.elbo_refine(
+                    theta, t_arr, self.y, self.yerr2,
+                    jnp.asarray(np.asarray(mu32), dtype=jnp.float64),
+                    jnp.asarray(np.asarray(var32), dtype=jnp.float64),
+                    self.refine_sweeps)
             trace = np.full(1, float(elbo))
             hist_len = 1
             n_iter = int(n_iter) + self.refine_sweeps
