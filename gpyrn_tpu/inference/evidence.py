@@ -20,7 +20,7 @@ for GPRN model comparison pass a vmapped/batched ELBO surrogate, e.g.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import numpy as np
 from scipy import stats as _st

@@ -574,7 +574,7 @@ class inference:
         ∇ELBO (requires priors from :mod:`gpyrn_tpu.inference.priors`);
         ``sampler='emcee'`` uses emcee if installed (host parity path).
         """
-        from gpyrn_tpu.inference.ensemble import run_ensemble, EnsembleResult
+        from gpyrn_tpu.inference.ensemble import run_ensemble
         self._require_components()
         self._apply_vars_selection(vars)
 
@@ -639,7 +639,6 @@ class inference:
         be.reset(nwalkers, ndim)
         smplr = EnsembleSampler(nwalkers, ndim, logposterior, backend=be)
 
-        from gpyrn_tpu.inference.ensemble import autocorr_time
         old_tau = np.inf
         for _ in smplr.sample(p0, iterations=niter, progress=False):
             if smplr.iteration % 10:

@@ -28,7 +28,7 @@ returning ``(ELBO, mu, var)``.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import numpy as np
 import jax

@@ -35,7 +35,7 @@ Numerical-parity notes (all verified against the reference line by line):
 from __future__ import annotations
 
 import functools
-from typing import Callable, NamedTuple, Optional, Sequence, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +43,6 @@ import numpy as np
 from jax import lax, vmap
 from jax.scipy.linalg import cho_solve
 
-from gpyrn_tpu.ops import kernels as kernels_mod
 from gpyrn_tpu.ops import means as means_mod
 from gpyrn_tpu.ops.linalg import (PREDICT_NUGGET, TRAIN_NUGGET,
                                   cross_kernel_matrix, kernel_matrix,
