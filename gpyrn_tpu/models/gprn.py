@@ -345,42 +345,71 @@ def make_engine(spec: GPRNSpec,
         elbo = (logl + logp + ent) / q
         return elbo, mu_f, dSf, mu_w, dSw_qp.transpose(1, 0, 2)
 
+    # chunk width for the memory-lean diag(Σ) computation: XLA's TPU
+    # triangular solve stages O(N/128) panel copies of its RHS, so a
+    # full N×N RHS costs ~40× the matrix size in HLO temps (OOM at
+    # N=10k); solving C columns at a time bounds the temp to O(N·C)
+    DIAG_CHUNK = min(2048, ((N + 127) // 128) * 128)
+
+    def _sigma_apply_and_diag(L, K, rhs):
+        """Given chol L of A = K + D⁻¹ and a batch of matrices K with
+        vectors rhs: return (Σ @ rhs, diag Σ) for Σ = K − K A⁻¹ K,
+        WITHOUT materializing Σ or the full N×N triangular solve.
+
+        Σ rhs = K rhs − K (A⁻¹ (K rhs)) — vector solves only;
+        diag Σ = diag K − Σ_cols |L⁻¹ K|², column-chunked."""
+        Krhs = jnp.einsum("bij,bj->bi", K, rhs)
+        t1 = vmap(lambda l, v: cho_solve((l, True), v))(L, Krhs)
+        sig_rhs = Krhs - jnp.einsum("bij,bj->bi", K, t1)
+
+        C = DIAG_CHUNK
+        n_chunks = (N + C - 1) // C
+        Npad = n_chunks * C
+        K_pad = jnp.pad(K, ((0, 0), (0, 0), (0, Npad - N)))
+
+        def chunk(carry, k):
+            cols = lax.dynamic_slice_in_dim(K_pad, k * C, C, axis=2)
+            S = _trisolve(L, cols)                  # (b, N, C)
+            return carry, jnp.sum(S * S, axis=1)    # (b, C)
+
+        _, parts = lax.scan(chunk, 0, jnp.arange(n_chunks))
+        # parts: (n_chunks, b, C) -> (b, Npad)
+        quad_diag = parts.transpose(1, 0, 2).reshape(K.shape[0], Npad)[:, :N]
+        d_sig = jnp.diagonal(K, axis1=1, axis2=2) - quad_diag
+        return sig_rhs, d_sig
+
     def _sweep_updates(Kf, Kw_flat, y_c, variance, muF, varF, muW, varW):
         """The coordinate-ascent UPDATES alone (eqs. 16-19) — no ELBO
         terms, hence no Cholesky of K or Σ.  (K + D)⁻¹ with the
         well-conditioned data-dependent diagonal D is f32-safe even with
         the reference's tiny 1e-6 nugget, so this path converges to the
         true-model fixed point in float32; the mixed-precision fit then
-        polishes and evaluates the ELBO in float64."""
+        polishes and evaluates the ELBO in float64.  Memory-lean: Σ is
+        never formed (vector solves + chunked diagonal)."""
         qp = q * p
         dv = jnp.sum((muW * muW + varW) / variance[:, None, :], axis=0)
         Af = Kf + vmap(jnp.diag)(1.0 / dv)
         Laf = _chol_batched(Af)
-        Bf = _trisolve(Laf, Kf)
-        sigma_f = Kf - jnp.einsum("qki,qkj->qij", Bf, Bf)
         total = jnp.einsum("pqn,qn->pn", muW, muF)
         resid = (y_c[None, :, :] - total[None, :, :] +
                  muW.transpose(1, 0, 2) * muF[:, None, :])
         pred = jnp.einsum("qpn,pqn->qn", resid,
                           muW / variance[:, None, :])
-        mu_f = jnp.einsum("qij,qj->qi", sigma_f, pred)
-        dSf = jnp.diagonal(sigma_f, axis1=1, axis2=2)
+        mu_f, dSf = _sigma_apply_and_diag(Laf, Kf, pred)
 
         dv2 = mu_f * mu_f + dSf
         ratio = (variance[None, :, :] /
                  dv2[:, None, :]).reshape(qp, N)
         Aw = Kw_flat + vmap(jnp.diag)(ratio)
         Law = _chol_batched(Aw)
-        Bw = _trisolve(Law, Kw_flat)
-        sigma_w = Kw_flat - jnp.einsum("aki,akj->aij", Bw, Bw)
         total2 = jnp.einsum("pqn,qn->pn", muW, mu_f)
         resid2 = (y_c[None, :, :] - total2[None, :, :] +
                   muW.transpose(1, 0, 2) * mu_f[:, None, :])
         pred2 = (resid2 * mu_f[:, None, :] /
                  variance[None, :, :]).reshape(qp, N)
-        mu_w_flat = jnp.einsum("aij,aj->ai", sigma_w, pred2)
+        mu_w_flat, dSw = _sigma_apply_and_diag(Law, Kw_flat, pred2)
         mu_w = mu_w_flat.reshape(q, p, N).transpose(1, 0, 2)
-        dSw = jnp.diagonal(sigma_w, axis1=1, axis2=2).reshape(q, p, N)
+        dSw = dSw.reshape(q, p, N)
         return mu_f, dSf, mu_w, dSw.transpose(1, 0, 2)
 
     def fit_state(theta, t, y, yerr2, mu0, var0, max_iter, tol):
