@@ -19,7 +19,16 @@ import os
 import jax
 import jax.numpy as jnp
 
-__all__ = ["enable_x64", "default_dtype", "set_compute_dtype", "compute_dtype"]
+__all__ = ["enable_x64", "default_dtype", "set_compute_dtype",
+           "compute_dtype", "enable_nan_checks"]
+
+
+def enable_nan_checks(enable: bool = True) -> None:
+    """Turn on jax's NaN debugging (``jax_debug_nans``): every jitted
+    computation re-runs eagerly on NaN production and points at the
+    offending primitive — the numerics-debugging substitute for the
+    sanitizers the reference never had (SURVEY.md §5.2)."""
+    jax.config.update("jax_debug_nans", bool(enable))
 
 
 def enable_x64(enable: bool = True) -> None:
