@@ -1,0 +1,229 @@
+"""Double-single ("df64") arithmetic: ~f64-accurate computation built
+from pairs of f32 values, using error-free transformations (Dekker 1971;
+Knuth TAOCP §4.2.2; Hida/Li/Bailey's QD library algorithms).
+
+Why: TPU hardware is f32/bf16-native; XLA's software float64 runs ~190×
+slower than f32 here (docs/performance.md).  A double-single value
+``x ≈ hi + lo`` (|lo| ≤ ½ulp(hi)) carries ~48 mantissa bits — enough to
+factor the GPRN's ill-conditioned kernel matrices (cond ≈ tr(K)/nugget ≈
+1e9–1e10) that plain f32 cannot (SURVEY.md §7 hard-parts).  This module
+provides the arithmetic core, a vectorized left-looking Cholesky, a
+triangular solve, and log-determinants — the exact pieces the ELBO's
+expected-log-prior/entropy terms need.
+
+All functions are pure jax on f32 arrays and trace/jit/vmap cleanly; no
+Pallas required (the operations are VPU elementwise/reduction chains).
+Error-free transforms rely on IEEE-exact single ops, which XLA preserves
+(no fast-math reassociation).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["DF", "df", "to_f64", "from_f64", "df_add", "df_sub", "df_mul",
+           "df_div", "df_sqrt", "df_neg", "df_sum", "df_dot",
+           "df_cholesky", "df_logdet_from_chol", "df_tri_solve"]
+
+_SPLIT = 4097.0   # 2^12 + 1 for binary32 (Dekker splitting constant)
+
+
+class DF(NamedTuple):
+    """A double-single number/array: value ≈ hi + lo."""
+    hi: jnp.ndarray
+    lo: jnp.ndarray
+
+
+def df(hi, lo=None) -> DF:
+    hi = jnp.asarray(hi, dtype=jnp.float32)
+    lo = jnp.zeros_like(hi) if lo is None else \
+        jnp.asarray(lo, dtype=jnp.float32)
+    return DF(hi, lo)
+
+
+def from_f64(x) -> DF:
+    """Split float64 (or any) input into a double-single pair."""
+    x = jnp.asarray(x, dtype=jnp.float64) if \
+        jax.config.jax_enable_x64 else jnp.asarray(x, dtype=jnp.float32)
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
+    return DF(hi, lo)
+
+
+def to_f64(a: DF):
+    """Recombine to float64 (requires x64 enabled; for testing)."""
+    return a.hi.astype(jnp.float64) + a.lo.astype(jnp.float64)
+
+
+# -- error-free transformations --------------------------------------------
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _quick_two_sum(a, b):
+    """Requires |a| >= |b|."""
+    s = a + b
+    err = b - (s - a)
+    return s, err
+
+
+def _split(a):
+    t = _SPLIT * a
+    hi = t - (t - a)
+    lo = a - hi
+    return hi, lo
+
+
+def _two_prod(a, b):
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+# -- double-single arithmetic ----------------------------------------------
+
+def df_add(a: DF, b: DF) -> DF:
+    s, e = _two_sum(a.hi, b.hi)
+    e = e + a.lo + b.lo
+    hi, lo = _quick_two_sum(s, e)
+    return DF(hi, lo)
+
+
+def df_neg(a: DF) -> DF:
+    return DF(-a.hi, -a.lo)
+
+
+def df_sub(a: DF, b: DF) -> DF:
+    return df_add(a, df_neg(b))
+
+
+def df_mul(a: DF, b: DF) -> DF:
+    p, e = _two_prod(a.hi, b.hi)
+    e = e + a.hi * b.lo + a.lo * b.hi
+    hi, lo = _quick_two_sum(p, e)
+    return DF(hi, lo)
+
+
+def df_div(a: DF, b: DF) -> DF:
+    q1 = a.hi / b.hi
+    # r = a - q1*b, computed in df
+    r = df_sub(a, df_mul(df(q1), b))
+    q2 = (r.hi + r.lo) / b.hi
+    hi, lo = _quick_two_sum(q1, q2)
+    return DF(hi, lo)
+
+
+def df_sqrt(a: DF) -> DF:
+    """sqrt via one Karp-Markstein refinement of the f32 estimate."""
+    s = jnp.sqrt(a.hi)
+    safe = jnp.where(s > 0, s, 1.0)
+    # r = a - s², then s + r/(2s)
+    r = df_sub(a, df_mul(df(safe), df(safe)))
+    corr = (r.hi + r.lo) / (2.0 * safe)
+    hi, lo = _quick_two_sum(safe, corr)
+    zero = a.hi <= 0
+    return DF(jnp.where(zero, 0.0, hi), jnp.where(zero, 0.0, lo))
+
+
+def df_sum(a: DF, axis=None) -> DF:
+    """Sum of a DF array along ``axis`` via pairwise-style reduction:
+    sequential fold in (hi, lo) — each partial sum is df-accurate."""
+    if axis is None:
+        flat = DF(a.hi.ravel(), a.lo.ravel())
+        return df_sum(flat, axis=0)
+
+    def fold(carry, x):
+        return df_add(carry, DF(*x)), None
+
+    moved_hi = jnp.moveaxis(a.hi, axis, 0)
+    moved_lo = jnp.moveaxis(a.lo, axis, 0)
+    init = DF(jnp.zeros_like(moved_hi[0]), jnp.zeros_like(moved_lo[0]))
+    out, _ = lax.scan(fold, init, (moved_hi, moved_lo))
+    return out
+
+
+def df_dot(a: DF, b: DF, axis=-1) -> DF:
+    """Inner product along ``axis`` with df-accurate accumulation."""
+    return df_sum(df_mul(a, b), axis=axis)
+
+
+# -- linear algebra --------------------------------------------------------
+
+def df_cholesky(A: DF, max_n=None) -> DF:
+    """Left-looking Cholesky of a symmetric positive-definite DF matrix.
+
+    Column j: c = A[:, j] − L[:, :j] @ L[j, :j] (df-accumulated),
+    L[j, j] = sqrt(c[j]), L[j+1:, j] = c[j+1:] / L[j, j].  The column
+    update is vectorized over rows; the j-loop is a ``fori_loop``.
+    O(N³) df-multiplies on the VPU — no MXU, but exactness where it
+    matters (the reference-parity log-determinants)."""
+    N = A.hi.shape[-1]
+    L = DF(jnp.zeros_like(A.hi), jnp.zeros_like(A.lo))
+    col_idx = jnp.arange(N)
+
+    def body(j, L):
+        # mask over already-computed columns k < j
+        mask = (col_idx < j).astype(A.hi.dtype)          # (N,)
+        Lj_hi = L.hi[j, :] * mask
+        Lj_lo = L.lo[j, :] * mask
+        # rows i: sum_k L[i,k] L[j,k]
+        prod = df_mul(DF(L.hi * mask[None, :], L.lo * mask[None, :]),
+                      DF(Lj_hi[None, :], Lj_lo[None, :]))
+        acc = df_sum(prod, axis=1)                       # (N,)
+        c = df_sub(DF(A.hi[:, j], A.lo[:, j]), acc)
+        d = df_sqrt(DF(c.hi[j], c.lo[j]))
+        inv_rows = df_div(c, DF(jnp.broadcast_to(d.hi, c.hi.shape),
+                                jnp.broadcast_to(d.lo, c.lo.shape)))
+        row_idx = jnp.arange(N)
+        below = (row_idx > j)
+        new_hi = jnp.where(below, inv_rows.hi, 0.0)
+        new_lo = jnp.where(below, inv_rows.lo, 0.0)
+        new_hi = jnp.where(row_idx == j, d.hi, new_hi)
+        new_lo = jnp.where(row_idx == j, d.lo, new_lo)
+        L = DF(L.hi.at[:, j].set(new_hi), L.lo.at[:, j].set(new_lo))
+        return L
+
+    n = N if max_n is None else max_n
+    return lax.fori_loop(0, n, body, L)
+
+
+def df_logdet_from_chol(L: DF):
+    """log det A = 2 Σ log L_ii, evaluated with a df-accurate log:
+    log(hi·(1+lo/hi)) = log(hi) + log1p(lo/hi).  Returned as f32 pair
+    folded to a single f32 (the final summation is the dominant error
+    and is df-accumulated)."""
+    d_hi = jnp.diagonal(L.hi)
+    d_lo = jnp.diagonal(L.lo)
+    logs = jnp.log(d_hi) + jnp.log1p(d_lo / d_hi)
+    # df-accumulate the (f32) logs to avoid O(N)·eps growth
+    s = df_sum(df(logs))
+    return 2.0 * s.hi, 2.0 * s.lo
+
+
+def df_tri_solve(L: DF, b: DF) -> DF:
+    """Solve L x = b with L lower-triangular DF, forward substitution
+    (vectorized across the trailing dims of b)."""
+    N = L.hi.shape[0]
+    col_idx = jnp.arange(N)
+
+    def body(i, x):
+        mask = (col_idx < i).astype(L.hi.dtype)
+        Li = DF(L.hi[i, :] * mask, L.lo[i, :] * mask)
+        acc = df_dot(Li, x, axis=0) if x.hi.ndim == 1 else \
+            df_sum(df_mul(DF(Li.hi[:, None], Li.lo[:, None]), x), axis=0)
+        r = df_sub(DF(b.hi[i], b.lo[i]), acc)
+        xi = df_div(r, DF(jnp.broadcast_to(L.hi[i, i], r.hi.shape),
+                          jnp.broadcast_to(L.lo[i, i], r.lo.shape)))
+        return DF(x.hi.at[i].set(xi.hi), x.lo.at[i].set(xi.lo))
+
+    x0 = DF(jnp.zeros_like(b.hi), jnp.zeros_like(b.lo))
+    return lax.fori_loop(0, N, body, x0)
