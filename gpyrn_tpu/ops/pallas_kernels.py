@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -95,23 +96,26 @@ def _build(structure, params, t_padded, jitter, n_valid: int,
     # sublane-divisibility constraint on small blocked vectors
     t2d = t_padded.reshape(-1, TILE)
     n_tiles = t2d.shape[0]
+    # NOTE: literal index-map zeros must be int32 — with jax_enable_x64
+    # a Python ``0`` traces as int64 and Mosaic fails to legalize it
+    z = np.int32(0)
     if _HAS_PLTPU and not interpret:
         smem = pltpu.SMEM
         vmem = pltpu.VMEM
         in_specs = [
-            pl.BlockSpec((1, n_par), lambda i, j: (0, 0),
+            pl.BlockSpec((1, n_par), lambda i, j: (z, z),
                          memory_space=smem),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=smem),
-            pl.BlockSpec((n_tiles, TILE), lambda i, j: (0, 0),
+            pl.BlockSpec((1, 1), lambda i, j: (z, z), memory_space=smem),
+            pl.BlockSpec((n_tiles, TILE), lambda i, j: (z, z),
                          memory_space=vmem),
         ]
         out_specs = pl.BlockSpec((TILE, TILE), lambda i, j: (i, j),
                                  memory_space=vmem)
     else:
         in_specs = [
-            pl.BlockSpec((1, n_par), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0)),
-            pl.BlockSpec((n_tiles, TILE), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, n_par), lambda i, j: (z, z)),
+            pl.BlockSpec((1, 1), lambda i, j: (z, z)),
+            pl.BlockSpec((n_tiles, TILE), lambda i, j: (z, z)),
         ]
         out_specs = pl.BlockSpec((TILE, TILE), lambda i, j: (i, j))
 
