@@ -30,7 +30,7 @@ def test_load_solar_into_inference():
     assert gprn.p == 2 and gprn.N == 497
 
 
-@pytest.mark.parametrize("p", [1, 2])
+@pytest.mark.parametrize("p", [1, 2, 3, 4])
 def test_plot_prediction(p, tiny_dataset):
     t, y, yerr = tiny_dataset
     data = [y, yerr] * p
@@ -42,8 +42,8 @@ def test_plot_prediction(p, tiny_dataset):
     gprn.ELBOcalc(max_iter=50)
     fig, axs = gprn.plot_prediction(nn=40, title="test")
     assert "pred1" in axs and "node" in axs
-    if p == 2:
-        assert "pred2" in axs
+    for i in range(2, p + 1):
+        assert f"pred{i}" in axs and f"resid{i}" in axs
     import matplotlib.pyplot as plt
     plt.close(fig)
 
