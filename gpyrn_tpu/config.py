@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["enable_x64", "default_dtype", "set_compute_dtype",
-           "compute_dtype", "enable_nan_checks"]
+           "compute_dtype", "enable_nan_checks", "ensure_compile_cache"]
 
 
 def enable_nan_checks(enable: bool = True) -> None:
@@ -50,22 +50,38 @@ if _MATMUL_PRECISION:
 
 # Persistent compilation cache: the fused fit/grad programs are large
 # (batched Cholesky factorizations inside scan/while_loop) and TPU
-# compiles are expensive — cache them across processes.
-_CACHE_DIR = os.environ.get("GPYRN_TPU_COMPILE_CACHE",
-                            os.path.expanduser("~/.cache/gpyrn_tpu_xla"))
-# only cache accelerator compiles: CPU AOT results compiled under one
-# host-feature set can SIGILL when loaded under another, and CPU
-# compiles are cheap anyway
-_PLATFORM = os.environ.get("JAX_PLATFORMS", "") or ""
-if "cpu" in _PLATFORM:
-    _CACHE_DIR = None
-if _CACHE_DIR and _CACHE_DIR != "0":
-    # scope by the primary platform so "axon" and "axon,cpu" share
-    _CACHE_DIR = os.path.join(_CACHE_DIR,
-                              (_PLATFORM.split(",")[0] or "default"))
+# compiles are expensive — cache them across processes.  Enabled lazily
+# (ensure_compile_cache, called by the engine factories) so the decision
+# can consult the ACTUAL default backend: CPU AOT results compiled under
+# one host-feature set can SIGILL when loaded under another, and CPU
+# compiles are cheap anyway, so only accelerator backends are cached.
+_CACHE_SETUP_DONE = False
+
+
+def ensure_compile_cache() -> None:
+    """Enable the persistent compilation cache for accelerator backends
+    (idempotent; no-op on CPU or when GPYRN_TPU_COMPILE_CACHE=0)."""
+    global _CACHE_SETUP_DONE
+    if _CACHE_SETUP_DONE:
+        return
+    _CACHE_SETUP_DONE = True
+    cache_dir = os.environ.get("GPYRN_TPU_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/gpyrn_tpu_xla"))
+    if not cache_dir or cache_dir == "0":
+        return
     try:
-        os.makedirs(_CACHE_DIR, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        backend = jax.default_backend()
+    except Exception:
+        return
+    if backend == "cpu":
+        return
+    # scope by the primary platform so "tpu" and "tpu,cpu" share entries
+    platform = os.environ.get("JAX_PLATFORMS", "") or backend
+    cache_dir = os.path.join(cache_dir,
+                             platform.split(",")[0] or backend)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except (OSError, AttributeError):  # read-only fs or older jax
         pass

@@ -64,8 +64,10 @@ class MultivariateGaussian:
         return self._dist.logpdf(np.asarray(x))
 
     def rvs(self, size=1):
-        out = self._dist.rvs(size=size, random_state=self._rng)
-        return np.atleast_2d(out)
+        out = np.asarray(self._dist.rvs(size=size, random_state=self._rng))
+        # scipy returns (size,) for 1-D spaces and (k,) for size=1:
+        # normalize to (size, k) so downstream batch evaluation is uniform
+        return out.reshape(size, self.mean.size)
 
 
 def estimate_density(x, method: str = "histogram", **kwargs):
@@ -275,18 +277,30 @@ def batch_elbo(gprn, thetas, max_iter: int = 100):
     """ELBO surrogate log-likelihood for a batch of full hyperparameter
     vectors — ONE vmapped device call for the whole batch (the evidence
     estimators' ``lnlikefunc``).  Frozen parameters in ``thetas`` columns
-    are taken as given; pass full-width vectors."""
+    are taken as given; pass full-width vectors.
+
+    The jitted batch function is cached on the ``gprn`` object per
+    (engine, max_iter): jit caches by function identity, so rebuilding
+    the closure every call would recompile the fused fit each time."""
     import jax
     import jax.numpy as jnp
 
     eng = gprn.engine
-    t = np.asarray(gprn.time, dtype=float)
-    y, yerr2 = gprn.y, gprn.yerr2
+    cache = getattr(gprn, "_batch_elbo_cache", None)
+    if cache is None:
+        cache = gprn._batch_elbo_cache = {}
+    key = (id(eng), int(max_iter))
+    fn = cache.get(key)
+    if fn is None:
+        t = np.asarray(gprn.time, dtype=float)
+        y, yerr2 = gprn.y, gprn.yerr2
+
+        def one(th):
+            mu0, var0 = eng.init_mu_var(th, y)
+            elbo, *_ = eng.elbo_fit(th, t, y, yerr2, mu0, var0, max_iter)
+            return elbo
+
+        fn = cache[key] = jax.jit(jax.vmap(one))
+
     thetas = jnp.asarray(np.atleast_2d(np.asarray(thetas, dtype=float)))
-
-    def one(th):
-        mu0, var0 = eng.init_mu_var(th, y)
-        elbo, *_ = eng.elbo_fit(th, t, y, yerr2, mu0, var0, max_iter)
-        return elbo
-
-    return np.asarray(jax.jit(jax.vmap(one))(thetas))
+    return np.asarray(fn(thetas))

@@ -37,11 +37,25 @@ class HMCResult:
         c = self.chain[discard::thin]
         return c.reshape(-1, c.shape[-1]) if flat else c
 
+    def save(self, filename):
+        np.savez_compressed(
+            filename, chain=self.chain, log_prob=self.log_prob,
+            acceptance=self.acceptance, step_size=self.step_size,
+            parameter_names=np.array(list(self.parameter_names)))
+
+    @classmethod
+    def load(cls, filename) -> "HMCResult":
+        z = np.load(filename, allow_pickle=False)
+        return cls(chain=z["chain"], log_prob=z["log_prob"],
+                   acceptance=float(z["acceptance"]),
+                   step_size=float(z["step_size"]),
+                   parameter_names=[str(s) for s in z["parameter_names"]])
+
 
 def run_hmc(gprn, priors: Dict, n_samples: int = 500, n_warmup: int = 100,
             n_chains: int = 4, n_leapfrog: int = 8, n_sweeps: int = 15,
             target_accept: float = 0.8, initial_step: float = 0.02,
-            seed: int = 0, p0=None):
+            seed: int = 0, p0=None, checkpoint=None):
     """Sample the hyperparameter posterior (ELBO surrogate likelihood)
     with vmapped HMC.
 
@@ -94,19 +108,23 @@ def run_hmc(gprn, priors: Dict, n_samples: int = 500, n_warmup: int = 100,
             return z, r + eps * g
         z, r = jax.lax.fori_loop(0, n_leapfrog - 1, body, (z, r))
         z = z + eps * r
-        _, g = val_and_grad(z)
+        v, g = val_and_grad(z)      # final value doubles as lp(z_new)
         r = r + 0.5 * eps * g
-        return z, r
+        return z, r, v
 
     def hmc_step(rng, z, lp, eps):
         k1, k2 = jax.random.split(rng)
         r0 = jax.random.normal(k1, z.shape, dtype=z.dtype)
-        z_new, r_new = leapfrog(z, r0, eps)
-        lp_new = logpost(z_new)
+        z_new, r_new, lp_new = leapfrog(z, r0, eps)
         log_accept = (lp_new - 0.5 * jnp.sum(r_new ** 2)) - \
             (lp - 0.5 * jnp.sum(r0 ** 2))
-        log_accept = jnp.where(jnp.isfinite(log_accept), log_accept,
-                               -jnp.inf)
+        # reject non-finite PROPOSALS; but if the CURRENT state is
+        # invalid (NaN/-inf logpost, e.g. a bad prior draw) accept any
+        # finite proposal so chains can escape instead of freezing
+        ok_new = jnp.isfinite(lp_new)
+        log_accept = jnp.where(ok_new, log_accept, -jnp.inf)
+        log_accept = jnp.where(jnp.isfinite(lp) | ~ok_new,
+                               log_accept, jnp.inf)
         accept = jnp.log(jax.random.uniform(k2, dtype=z.dtype)) < log_accept
         z = jnp.where(accept, z_new, z)
         lp = jnp.where(accept, lp_new, lp)
@@ -155,7 +173,13 @@ def run_hmc(gprn, priors: Dict, n_samples: int = 500, n_warmup: int = 100,
         chain[i] = np.exp(np.asarray(z))
         lps[i] = np.asarray(lp)
         acc += float(jnp.mean(alpha))
+        if checkpoint is not None and (i + 1) % 50 == 0:
+            HMCResult(chain[:i + 1], lps[:i + 1], acc / (i + 1), eps,
+                      free_names).save(checkpoint)
 
-    return HMCResult(chain=chain, log_prob=lps,
-                     acceptance=acc / max(n_samples, 1),
-                     step_size=eps, parameter_names=free_names)
+    result = HMCResult(chain=chain, log_prob=lps,
+                       acceptance=acc / max(n_samples, 1),
+                       step_size=eps, parameter_names=free_names)
+    if checkpoint is not None:
+        result.save(checkpoint)
+    return result

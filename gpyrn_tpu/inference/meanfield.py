@@ -589,7 +589,10 @@ class inference:
 
         if sampler == 'hmc':
             from gpyrn_tpu.inference.hmc import run_hmc
-            return run_hmc(self, priors, n_samples=niter, p0=p0, **kwargs)
+            if nwalkers != 2 * ndim:    # user-specified walker count
+                kwargs.setdefault('n_chains', nwalkers)
+            return run_hmc(self, priors, n_samples=niter, p0=p0,
+                           checkpoint=checkpoint, **kwargs)
         if sampler == 'emcee':
             return self._mcmc_emcee(priors, free_names, p0, niter, **kwargs)
 

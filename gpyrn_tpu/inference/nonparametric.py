@@ -54,6 +54,8 @@ class NPVEngine(NamedTuple):
 def make_npv_engine(spec: _core.GPRNSpec, k: int,
                     core_maps=None) -> NPVEngine:
     """Jitted ELBO + fit loop for a mixture of ``k`` isotropic Gaussians."""
+    from gpyrn_tpu.config import ensure_compile_cache
+    ensure_compile_cache()
     q, p, N = spec.q, spec.p, spec.N
     d = spec.d
 
@@ -229,22 +231,33 @@ class inference:
         w = np.clip(w, 0.0, None)
         return V @ (np.sqrt(w) * rng.standard_normal(time.size))
 
-    def ELBOaux(self, nodes, weights, means, jitters, mu, var):
-        """Single ELBO evaluation at given mixture parameters
-        (reference nonparametric.py:272-327).  ``var`` holds per-component
-        standard deviations."""
+    def _normalize_means(self, means):
+        """Scalar/None → per-output list (shared by ELBOcalc/ELBOaux)."""
         if isinstance(means, (int, float)) or means is None:
             means = [means]
         means = [None if isinstance(m, (int, float)) or m is None else m
                  for m in means]
         if len(means) == 1 and self.p > 1:
             means = means * self.p
+        return means
+
+    def _logs_from_std(self, var):
+        """Per-component log std-devs from a std-dev scalar/vector."""
+        logs = np.log(np.abs(np.atleast_1d(np.asarray(var, dtype=float)))
+                      + 1e-300)
+        if logs.size == 1:
+            logs = np.full(self.k, float(logs))
+        return logs
+
+    def ELBOaux(self, nodes, weights, means, jitters, mu, var):
+        """Single ELBO evaluation at given mixture parameters
+        (reference nonparametric.py:272-327).  ``var`` holds per-component
+        standard deviations (the same convention as ELBOcalc's return)."""
+        means = self._normalize_means(means)
         jitters = np.atleast_1d(np.asarray(jitters, dtype=float))
         eng = self._engine(nodes, weights, means)
         theta = _core.pack_parameters(nodes, weights, means, jitters)
-        logs = np.log(np.abs(np.atleast_1d(np.asarray(var))) + 1e-12)
-        if logs.size == 1:
-            logs = np.full(self.k, float(logs))
+        logs = self._logs_from_std(var)
         return float(eng.elbo(theta, self.time, self.y, self.yerr2,
                               np.asarray(mu, dtype=float), logs))
 
@@ -264,13 +277,10 @@ class inference:
                  learning_rate: float = 5e-2, mu=None, var=None, seed: int = 0):
         """Fit the mixture variational parameters by on-device adam and
         return ``(ELBO, mu, var)`` with ``mu`` of shape (k, d) and ``var``
-        the per-component std-dev vector of shape (k,)."""
-        if isinstance(means, (int, float)) or means is None:
-            means = [means]
-        means = [None if isinstance(m, (int, float)) or m is None else m
-                 for m in means]
-        if len(means) == 1 and self.p > 1:
-            means = means * self.p
+        the per-component std-dev vector of shape (k,).  A ``var`` input
+        uses the same std-dev convention, so the returned state
+        round-trips: ``ELBOcalc(..., mu=mu, var=var)`` resumes exactly."""
+        means = self._normalize_means(means)
         jitters = np.atleast_1d(np.asarray(jitters, dtype=float))
         eng = self._engine(nodes, weights, means)
         theta = _core.pack_parameters(nodes, weights, means, jitters)
@@ -281,9 +291,7 @@ class inference:
         if var is None:
             logs = np.full(self.k, np.log(0.3))
         else:
-            logs = np.log(np.sqrt(np.atleast_1d(np.asarray(var))))
-            if logs.size == 1:
-                logs = np.full(self.k, float(logs))
+            logs = self._logs_from_std(var)
 
         elbo, mu, logs, traj = eng.fit(theta, self.time, self.y, self.yerr2,
                                        mu, logs, int(iterations),

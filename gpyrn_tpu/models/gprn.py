@@ -178,6 +178,9 @@ def make_engine(spec: GPRNSpec,
     functions inside ``jax.sharding.use_mesh(mesh)`` (see
     :mod:`gpyrn_tpu.parallel`).
     """
+    from gpyrn_tpu.config import ensure_compile_cache
+    ensure_compile_cache()      # accelerator backends only; idempotent
+
     q, p, N = spec.q, spec.p, spec.N
     d = spec.d
 

@@ -815,7 +815,12 @@ class QuasiHarmonicPeriodic(covFunction):
 
 class CosPeriodic(covFunction):
     r"""SE mapped with cos (note cos², not sin²): carries the amplitude in
-    ``pars`` (the reference dropped it, covfunc.py:659)."""
+    ``pars`` (the reference dropped it, covfunc.py:659).
+
+    .. warning:: Not a valid covariance function in general —
+       :math:`e^{-2\cos^2(\pi r/P)/\ell^2}` can exceed its zero-lag value,
+       so kernel matrices may be indefinite (the reference implementation
+       has the same property; reproduced for API parity)."""
     _param_names = ("amplitude", "P", "ell")
     _tag = "CP"
 

@@ -137,3 +137,21 @@ def test_batch_elbo_smoke(tiny_dataset):
     vals = ev.batch_elbo(gprn, thetas, max_iter=60)
     assert vals.shape == (3,)
     assert np.all(np.isfinite(vals))
+
+
+def test_multivariate_gaussian_rvs_1d_shape():
+    """Regression: 1-D spaces must give (size, 1) draws, not (1, size)."""
+    mv = ev.MultivariateGaussian([0.5], [[1.0]])
+    x = mv.rvs(100)
+    assert x.shape == (100, 1)
+    x1 = mv.rvs(1)
+    assert x1.shape == (1, 1)
+
+
+def test_cj_estimate_1d_parameter_space(posterior_samples):
+    """CJ with a 1-parameter model exercises the 1-D proposal path."""
+    logz = ev.compute_cj_estimate(
+        posterior_samples[:1000], _lnlike, _lnprior,
+        param_post=posterior_samples[:1000, 0], nsamples=800,
+        rng=np.random.default_rng(9))
+    assert logz == pytest.approx(_true_logz(), abs=0.2)

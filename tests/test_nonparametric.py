@@ -82,3 +82,19 @@ def test_elbo_trajectory_monotonic_tail(problem):
     traj = gprn._traj
     # adam is not strictly monotone, but the tail must improve on the head
     assert np.mean(traj[-20:]) > np.mean(traj[:20])
+
+
+def test_elbocalc_state_roundtrip(problem):
+    """Returned (mu, var) must resume exactly (var is a std-dev in both
+    directions — regression test for the sqrt round-trip bug)."""
+    t, y, yerr = problem
+    gprn = npv.inference(1, t, 2, y, yerr)
+    nodes, weights, means, jitters = _components()
+    e1, mu, var = gprn.ELBOcalc(nodes, weights, means, jitters,
+                                iterations=100)
+    e_resume = gprn.ELBOaux(nodes, weights, means, jitters, mu, var)
+    assert e_resume == pytest.approx(e1, rel=1e-6)
+    # zero extra iterations from the same state returns the same ELBO
+    e2, *_ = gprn.ELBOcalc(nodes, weights, means, jitters,
+                           iterations=0, mu=mu, var=var)
+    assert e2 == pytest.approx(e1, rel=1e-6)
