@@ -27,9 +27,13 @@ import os
 # Margin multiplier for the float32 trace-scaled jitter.  TPU's blocked
 # Cholesky loses more precision than LAPACK's, so near-rank-deficient
 # kernels (e.g. SquaredExponential with a long length-scale) need the
-# condition number pushed further below 1/eps_f32.  Immaterial in f64
-# (the scaled term stays far below the reference's fixed nuggets).
-F32_JITTER_MULT = float(os.environ.get("GPYRN_TPU_F32_JITTER_MULT", "32"))
+# condition number pushed further below 1/eps_f32: mult=m caps it at
+# 1/(m·eps) ≈ 8.4e6/m, scale-invariantly.  Measured on a v5e: mult=1
+# NaNs on the worst-case smooth kernel, mult=2 and 4 factor it cleanly;
+# mult=4 keeps the f32 ELBO within ~0.4% of f64 at N=1000 (mult=32 was
+# ~4%).  Immaterial in f64 (the scaled term stays far below the
+# reference's fixed nuggets).
+F32_JITTER_MULT = float(os.environ.get("GPYRN_TPU_F32_JITTER_MULT", "4"))
 
 # Pallas blockwise kernel-matrix builder policy: 'auto' uses it on TPU
 # for float32 problems with N >= threshold and supported structures
