@@ -263,6 +263,28 @@ def make_engine(spec: GPRNSpec,
     def _trisolve(L, B):
         return lax.linalg.triangular_solve(L, B, left_side=True, lower=True)
 
+    def _trisolve_wide(L, K):
+        """L⁻¹ K for an N×N RHS, computed CHUNK_W columns at a time.
+
+        XLA's TPU triangular solve stages O(N/128) progressively-sized
+        panel copies of its RHS in HBM (~40× the RHS size in temps —
+        OOM at N=10k); chunking the RHS bounds the temp to O(N·C) while
+        producing the identical full solution."""
+        C = min(2048, ((N + 127) // 128) * 128)
+        if N <= C:
+            return _trisolve(L, K)
+        n_chunks = (N + C - 1) // C
+        Npad = n_chunks * C
+        K_pad = jnp.pad(K, ((0, 0), (0, 0), (0, Npad - N)))
+
+        def chunk(carry, k):
+            cols = lax.dynamic_slice_in_dim(K_pad, k * C, C, axis=2)
+            return carry, _trisolve(L, cols)          # (b, N, C)
+
+        _, parts = lax.scan(chunk, 0, jnp.arange(n_chunks))
+        B = parts.transpose(1, 2, 0, 3).reshape(K.shape[0], N, Npad)
+        return B[:, :, :N]
+
     def _sweep(Kf, Kw_flat, L_all, y_c, y_raw, variance,
                muF, varF, muW, varW):
         """One ELBOaux step, with all lattice linear algebra expressed as
@@ -280,7 +302,7 @@ def make_engine(spec: GPRNSpec,
         Af = Kf + vmap(jnp.diag)(1.0 / dv)
         Laf = _chol_batched(Af)
         # K A^{-1} K = B^T B with B = L^{-1} K
-        Bf = _trisolve(Laf, Kf)
+        Bf = _trisolve_wide(Laf, Kf)
         sigma_f = Kf - jnp.einsum("qki,qkj->qij", Bf, Bf)
         total = jnp.einsum("pqn,qn->pn", muW, muF)
         resid = (y_c[None, :, :] - total[None, :, :] +
@@ -296,7 +318,7 @@ def make_engine(spec: GPRNSpec,
                  dv2[:, None, :]).reshape(qp, N)                 # (q·p,N)
         Aw = Kw_flat + vmap(jnp.diag)(ratio)
         Law = _chol_batched(Aw)
-        Bw = _trisolve(Law, Kw_flat)
+        Bw = _trisolve_wide(Law, Kw_flat)
         sigma_w = Kw_flat - jnp.einsum("aki,akj->aij", Bw, Bw)   # (q·p,N,N)
         total2 = jnp.einsum("pqn,qn->pn", muW, mu_f)
         resid2 = (y_c[None, :, :] - total2[None, :, :] +
@@ -329,8 +351,13 @@ def make_engine(spec: GPRNSpec,
         # the CUMULATIVE sum of sigma_f over nodes <= j
         cum_sigma = jnp.cumsum(sigma_f, axis=0)
         S_all = jnp.concatenate([cum_sigma, sigma_w], axis=0)
-        tr_all = vmap(lambda l, s: jnp.trace(cho_solve((l, True), s)))(
-            L_all, S_all)
+        # tr(K⁻¹S) = Σᵢⱼ (L⁻¹S)ᵢⱼ (L⁻¹)ᵢⱼ — two column-chunked wide
+        # solves instead of nested full-RHS cho_solves (bounds XLA's
+        # triangular-solve temp staging at large N)
+        T1 = _trisolve_wide(L_all, S_all)
+        Linv = _trisolve_wide(L_all, jnp.broadcast_to(
+            jnp.eye(N, dtype=L_all.dtype), L_all.shape))
+        tr_all = jnp.einsum("bij,bij->b", T1, Linv)
         logp = jnp.sum(-logdet_all - 0.5 * (muKmu_all + tr_all)) \
             - 0.5 * N * q * (p + 1) * jnp.log(2 * jnp.pi)
 
