@@ -15,6 +15,12 @@ All functions are pure jax on f32 arrays and trace/jit/vmap cleanly; no
 Pallas required (the operations are VPU elementwise/reduction chains).
 Error-free transforms rely on IEEE-exact single ops, which XLA preserves
 (no fast-math reassociation).
+
+Domain: full ~48-bit relative precision requires the LOW word to stay in
+f32 normal range (XLA flushes subnormals to zero), i.e. magnitudes
+|x| ≳ 1e-31; precision degrades gracefully to plain f32 below that.
+GPRN quantities (kernel values, times, log-densities) sit far inside
+the safe range.
 """
 from __future__ import annotations
 
