@@ -1,0 +1,103 @@
+"""Exact-parity ELBO evaluator (df64 terms) tests.
+
+Two claims, tested separately:
+1. TERM ACCURACY: at a converged state, the df64 evaluator reproduces
+   the f64 engine's ELBO to ~1e-7 relative — every factorization of the
+   ill-conditioned K replaced by double-single f32 arithmetic.
+2. END-TO-END: for a fast-mixing problem the f32 `fit_state` reaches the
+   fixed point, so f32-fit + df64-terms gives reference-grade ELBO with
+   no f64 hardware ops at all.  (Slow-mixing problems need f64/mixed
+   refine first — the f32 state random-walks at its roundoff floor; this
+   is a property of the fit, not the evaluator.)
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import gpyrn_tpu as g
+from gpyrn_tpu.models.exact import elbo_exact_q1
+
+
+def _fixed_point(gprn, tol=1e-12, max_iter=50000):
+    eng = gprn.engine
+    t = np.asarray(gprn.time, dtype=float)
+    theta = gprn._theta()
+    mu0, var0 = eng.init_mu_var(theta, gprn.y)
+    mu, var, it, conv = eng.fit_state(theta, t, gprn.y, gprn.yerr2,
+                                      mu0, var0, max_iter, tol)
+    e, mu, var = eng.elbo_refine(theta, t, gprn.y, gprn.yerr2, mu, var, 1)
+    return float(e), np.asarray(mu), np.asarray(var)
+
+
+def test_evaluator_matches_f64_engine(tiny_dataset):
+    t, y, yerr = tiny_dataset
+    gprn = g.inference(1, t, y, yerr)
+    gprn.set_components(g.covfunc.Periodic(1.0, 10.0, 0.5),
+                        g.covfunc.SquaredExponential(1.0, 5.0),
+                        g.meanfunc.Constant(0.1), 0.1)
+    e_gold, mu, var = _fixed_point(gprn)
+    e_exact = elbo_exact_q1(gprn, mu=mu, var=var)
+    assert e_exact == pytest.approx(e_gold, rel=1e-6)
+
+
+def test_evaluator_multi_output():
+    rng = np.random.default_rng(2)
+    N = 30
+    t = np.sort(rng.uniform(0, 40, N))
+    data = []
+    for i in range(2):
+        data += [np.sin(2 * np.pi * t / (9 + 3 * i))
+                 + 0.1 * rng.standard_normal(N), np.full(N, 0.1)]
+    gprn = g.inference(1, t, *data)
+    gprn.set_components(g.covfunc.QuasiPeriodic(1.0, 15.0, 9.0, 0.7),
+                        [g.covfunc.SquaredExponential(1.0, 15.0),
+                         g.covfunc.Matern52(0.8, 10.0)],
+                        [None, None], [0.1, 0.1])
+    e_gold, mu, var = _fixed_point(gprn)
+    e_exact = elbo_exact_q1(gprn, mu=mu, var=var)
+    assert e_exact == pytest.approx(e_gold, rel=1e-6)
+
+
+def test_end_to_end_f32_state(tiny_dataset):
+    """Pure-f32 pipeline (f32 fit + df64 terms, zero f64 hardware ops):
+    accuracy is limited by the f32 STATE's roundoff plateau (the fit
+    random-walks at ~1e-6/sweep against slow contraction), measured at
+    ~5e-4 relative here — versus ~1e-2 for an all-f32 ELBO.  Reaching
+    1e-6 end-to-end needs f64 (or future df64) refine sweeps before the
+    evaluation; the evaluator itself is 1e-7-accurate (tests above)."""
+    t, y, yerr = tiny_dataset
+    gprn = g.inference(1, t, y, yerr)
+    gprn.set_components(g.covfunc.Periodic(1.0, 10.0, 0.5),
+                        g.covfunc.SquaredExponential(1.0, 5.0),
+                        [None], [0.1])
+    e_gold, _, _ = _fixed_point(gprn)
+
+    eng = gprn.engine
+    f32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.float32)  # noqa
+    theta = gprn._theta()
+    mu0, var0 = eng.init_mu_var(theta, gprn.y)
+    mu32, var32, it, conv = eng.fit_state(
+        f32(theta), f32(np.asarray(t, dtype=float)), f32(gprn.y),
+        f32(gprn.yerr2), f32(mu0), f32(var0), 20000, 1e-6)
+    e_exact = elbo_exact_q1(gprn,
+                            mu=np.asarray(mu32, dtype=np.float64),
+                            var=np.asarray(var32, dtype=np.float64))
+    assert e_exact == pytest.approx(e_gold, rel=2e-3)
+
+
+def test_guardrails(tiny_dataset):
+    t, y, yerr = tiny_dataset
+    gprn = g.inference(2, t, y, yerr)
+    gprn.set_components(
+        [g.covfunc.Periodic(1.0, 10.0, 0.5),
+         g.covfunc.SquaredExponential(1.0, 5.0)],
+        [g.covfunc.Constant(1.0)] * 2, [None], [0.1])
+    with pytest.raises(NotImplementedError):
+        elbo_exact_q1(gprn)
+
+    gprn1 = g.inference(1, t, y, yerr)
+    gprn1.set_components(g.covfunc.Periodic(1.0, 10.0, 0.5),
+                         g.covfunc.SquaredExponential(1.0, 5.0),
+                         [None], [0.1])
+    with pytest.raises(ValueError, match="no variational state"):
+        elbo_exact_q1(gprn1)
