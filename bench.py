@@ -74,7 +74,16 @@ def measure_ours():
         v, grad = run()
         times.append(time.perf_counter() - t0)
     ok = bool(np.isfinite(v) and np.all(np.isfinite(grad)))
-    return float(np.median(times)) * 1e3, v, ok
+
+    # mean-field iters/sec (the BASELINE metric's second component)
+    out = eng.elbo_fit(theta, tt, gprn.y, gprn.yerr2, mu0, var0, 100)
+    _ = float(out[0])                    # compile + force
+    t0 = time.perf_counter()
+    out = eng.elbo_fit(theta, tt, gprn.y, gprn.yerr2, mu0, var0, 100)
+    n_it = int(out[3])
+    _ = float(out[0])
+    ips = max(n_it, 1) / (time.perf_counter() - t0)
+    return float(np.median(times)) * 1e3, v, ok, ips
 
 
 def measure_f64_parity():
@@ -176,10 +185,11 @@ def measure_baseline():
 
 
 def main():
-    ours_ms, elbo, ok = measure_ours()
+    ours_ms, elbo, ok, ips = measure_ours()
     f64_ms, f64_elbo = measure_f64_parity()
     base_ms = measure_baseline()
     vs = (base_ms / ours_ms) if (base_ms and ok) else float("nan")
+    base_ips = (N_SWEEPS / (base_ms / 1e3)) if base_ms else None
     out = {
         "metric": f"elbo_grad_30sweeps_walltime_N{N}_p3_QP_GPRN",
         "value": round(ours_ms, 3),
@@ -188,6 +198,9 @@ def main():
         "elbo": elbo,
         "finite": ok,
         "baseline_ms": round(base_ms, 1) if base_ms else None,
+        "meanfield_iters_per_sec": round(ips, 1),
+        "meanfield_iters_per_sec_vs_baseline":
+            round(ips / base_ips, 1) if base_ips else None,
     }
     if f64_ms is not None:
         out["f64_fit_30sweep_ms"] = round(f64_ms, 1)
