@@ -75,14 +75,18 @@ def measure_ours():
         times.append(time.perf_counter() - t0)
     ok = bool(np.isfinite(v) and np.all(np.isfinite(grad)))
 
-    # mean-field iters/sec (the BASELINE metric's second component)
+    # mean-field iters/sec (the BASELINE metric's second component);
+    # best of 3 — single-shot timings through the tunnel are noisy
     out = eng.elbo_fit(theta, tt, gprn.y, gprn.yerr2, mu0, var0, 100)
     _ = float(out[0])                    # compile + force
-    t0 = time.perf_counter()
-    out = eng.elbo_fit(theta, tt, gprn.y, gprn.yerr2, mu0, var0, 100)
-    n_it = int(out[3])
-    _ = float(out[0])
-    ips = max(n_it, 1) / (time.perf_counter() - t0)
+    fit_times = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        out = eng.elbo_fit(theta, tt, gprn.y, gprn.yerr2, mu0, var0, 100)
+        n_it = int(out[3])
+        _ = float(out[0])
+        fit_times.append(time.perf_counter() - t0)
+    ips = max(n_it, 1) / min(fit_times)
     return float(np.median(times)) * 1e3, v, ok, ips
 
 

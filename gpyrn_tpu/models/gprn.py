@@ -351,13 +351,18 @@ def make_engine(spec: GPRNSpec,
         # the CUMULATIVE sum of sigma_f over nodes <= j
         cum_sigma = jnp.cumsum(sigma_f, axis=0)
         S_all = jnp.concatenate([cum_sigma, sigma_w], axis=0)
-        # tr(K⁻¹S) = Σᵢⱼ (L⁻¹S)ᵢⱼ (L⁻¹)ᵢⱼ — two column-chunked wide
-        # solves instead of nested full-RHS cho_solves (bounds XLA's
-        # triangular-solve temp staging at large N)
-        T1 = _trisolve_wide(L_all, S_all)
-        Linv = _trisolve_wide(L_all, jnp.broadcast_to(
-            jnp.eye(N, dtype=L_all.dtype), L_all.shape))
-        tr_all = jnp.einsum("bij,bij->b", T1, Linv)
+        if N <= 2048:
+            tr_all = vmap(lambda l, s: jnp.trace(
+                cho_solve((l, True), s)))(L_all, S_all)
+        else:
+            # tr(K⁻¹S) = Σᵢⱼ (L⁻¹S)ᵢⱼ (L⁻¹)ᵢⱼ — two column-chunked wide
+            # solves instead of nested full-RHS cho_solves (bounds XLA's
+            # triangular-solve temp staging at large N; the extra
+            # identity solve isn't worth it at small N)
+            T1 = _trisolve_wide(L_all, S_all)
+            Linv = _trisolve_wide(L_all, jnp.broadcast_to(
+                jnp.eye(N, dtype=L_all.dtype), L_all.shape))
+            tr_all = jnp.einsum("bij,bij->b", T1, Linv)
         logp = jnp.sum(-logdet_all - 0.5 * (muKmu_all + tr_all)) \
             - 0.5 * N * q * (p + 1) * jnp.log(2 * jnp.pi)
 
