@@ -1,4 +1,4 @@
-"""Exact-parity ELBO evaluation on f32 hardware (q = 1 models).
+"""Exact-parity ELBO evaluation on f32 hardware.
 
 The missing piece between the f32 speed path and 1e-6 reference parity:
 the coordinate-ascent FIT is f32-safe with the exact nugget
@@ -24,9 +24,8 @@ avoid forming Σ = K − K A⁻¹ K (A = K + D⁻¹ is well-conditioned):
     tr(K⁻¹ Σ)  = tr(A⁻¹ D⁻¹) = Σᵢ (A⁻¹)ᵢᵢ / Dᵢᵢ
     diag Σ     = diag K − column-norms²(L_A⁻¹ K)
 
-Currently restricted to q = 1 (covers BASELINE configs 1, 2 and the
-headline benchmark config); q > 1 adds the reference's cumulative
-cross-trace quirk and is on the roadmap.  Practical N is set by the
+Supports any (q, p); the reference's q>1 cumulative cross-trace quirk
+is computed with df64 cross-solves.  Practical N is set by the
 unblocked df64 Cholesky (O(N³) VPU work): hundreds of points.
 """
 from __future__ import annotations
@@ -39,14 +38,14 @@ from gpyrn_tpu.ops.df64 import (DF, df_cholesky, df_logdet_from_chol,
 from gpyrn_tpu.ops.df64_kernels import df_kernel_matrix, df_supported
 from gpyrn_tpu.ops.linalg import TRAIN_NUGGET
 
-__all__ = ["elbo_exact_q1"]
+__all__ = ["elbo_exact", "elbo_exact_q1"]
 
 
-def _df_terms(structure, params, t, d_diag, mu):
+def _df_terms(structure, params, t, d_diag, mu, want_factors=False):
     """Per-GP df64 quantities at state diagonal ``d_diag`` (D = diag(d)):
 
-    returns (logdet K, μᵀK⁻¹μ, tr(K⁻¹Σ), diag Σ) with
-    A = K + D⁻¹, Σ = (K⁻¹ + D)⁻¹."""
+    returns (logdet K, μᵀK⁻¹μ, tr(K⁻¹Σ), logdet Σ, diag Σ[, K, L, LA])
+    with A = K + D⁻¹, Σ = (K⁻¹ + D)⁻¹."""
     K = df_kernel_matrix(structure, params, t, TRAIN_NUGGET)
     N = K.hi.shape[0]
     L = df_cholesky(K)
@@ -81,19 +80,51 @@ def _df_terms(structure, params, t, d_diag, mu):
     tr_KinvSigma = float(np.sum(diag_Ainv * inv_d))
     logdet_D = float(np.sum(np.log(np.asarray(d_diag, dtype=np.float64))))
     logdet_sigma = logdet_K - logdet_A - logdet_D
-    return logdet_K, muKmu, tr_KinvSigma, logdet_sigma, diag_sigma
+    out = (logdet_K, muKmu, tr_KinvSigma, logdet_sigma, diag_sigma)
+    if want_factors:
+        return out + (K, L, LA)
+    return out
 
 
-def elbo_exact_q1(gprn, mu=None, var=None):
+def _np_to_df(x):
+    hi = np.asarray(x, dtype=np.float32)
+    lo = (np.asarray(x, dtype=np.float64) - hi.astype(np.float64)) \
+        .astype(np.float32)
+    return DF(jnp.asarray(hi), jnp.asarray(lo))
+
+
+def _cross_trace(Linv_j64, LA_k, inv_d_k):
+    """tr(K_j⁻¹ Σ_k) for j ≠ k (the reference's cumulative-sumSigmaF
+    quirk, meanfield.py:1039), via the Woodbury form
+    Σ_k = D_k⁻¹ − D_k⁻¹ A_k⁻¹ D_k⁻¹ so every solve goes through the
+    WELL-conditioned A_k (solving through K directly loses ~6 digits
+    to cancellation):
+
+        tr(K_j⁻¹Σ_k) = Σᵢ diag(K_j⁻¹)ᵢ (D_k⁻¹)ᵢ − ||L_{A_k}⁻¹ Tᵀ||_F²
+        with T = L_j⁻¹ · diag(D_k⁻¹).
+    """
+    inv_d = np.asarray(inv_d_k, dtype=np.float64)
+    diag_Kinv_j = np.sum(Linv_j64 * Linv_j64, axis=0)
+    term1 = float(np.sum(diag_Kinv_j * inv_d))
+    T = Linv_j64 * inv_d[None, :]
+    W = np.asarray(to_f64(df_tri_solve(LA_k, _np_to_df(T.T))),
+                   dtype=np.float64)
+    return term1 - float(np.sum(W * W))
+
+
+def elbo_exact(gprn, mu=None, var=None):
     """Reference-convention ELBO at the (converged) variational state,
     with every ill-conditioned factorization in df64 — f32 hardware
-    only.  Requires q = 1 and df64-supported stationary kernels.
+    only.  Requires df64-supported stationary kernels.
+
+    Reproduces the reference's quirks exactly: the cumulative sumSigmaF
+    node traces (meanfield.py:1039, via df64 cross-traces), the raw
+    (p,q,N)→(q·p,N) weight-mean flatten in the prior (:1021), the raw-y
+    likelihood (:940) and the ÷q scaling (:709).
 
     Uses ``gprn._mu``/``gprn._var`` (e.g. from a ``precision='mixed'``
     or plain fit) unless ``mu``/``var`` are given."""
     gprn._require_components()
-    if gprn.q != 1:
-        raise NotImplementedError("elbo_exact_q1 supports q = 1 models")
     for k in list(gprn.nodes) + list(gprn.weights):
         if not df_supported(k.structure):
             raise ValueError(f"kernel {k} not df64-supported")
@@ -105,61 +136,79 @@ def elbo_exact_q1(gprn, mu=None, var=None):
                          "or pass mu/var")
     mu = np.asarray(mu, dtype=np.float64).ravel()
     var = np.asarray(var, dtype=np.float64).ravel()
-    N, p = gprn.N, gprn.p
+    N, p, q = gprn.N, gprn.p, gprn.q
     t = np.asarray(gprn.time, dtype=np.float64)
-    muF = mu[:N]
-    muW = mu[N:].reshape(p, N)
-    varF = var[:N]
-    varW = var[N:].reshape(p, N)
+    muF = mu[:q * N].reshape(q, N)
+    muW = mu[q * N:].reshape(p, q, N)
+    varW = var[q * N:].reshape(p, q, N)
 
     jitters = np.asarray(gprn.jitters, dtype=np.float64)
     variance = jitters[:, None] ** 2 + np.asarray(gprn.yerr2,
                                                   dtype=np.float64)
-    m_rows = []
-    for mean in gprn.means:
-        if mean is None or isinstance(mean, (int, float)):
-            m_rows.append(np.zeros(N))
-        else:
-            m_rows.append(np.asarray(mean(t), dtype=np.float64))
     y_raw = np.asarray(gprn.y, dtype=np.float64)
-    y_c = y_raw - np.stack(m_rows)
 
-    # -- node GP (eqs. 16-17 state diagonal) --------------------------------
-    dv = np.sum((muW ** 2 + varW) / variance, axis=0)        # D_f = diag(dv)
-    node = gprn.nodes[0]
-    ldK_f, muKmu_f, tr_f, ldSig_f, dSf = _df_terms(
-        node.structure, node.core_params(), t, dv, muF)
+    # -- node GPs (eqs. 16-17 state diagonals) ------------------------------
+    dv = np.sum((muW ** 2 + varW) / variance[:, None, :], axis=0)  # (q,N)
+    node_out = []
+    for j, node in enumerate(gprn.nodes):
+        node_out.append(_df_terms(node.structure, node.core_params(),
+                                  t, dv[j], muF[j], want_factors=True))
+    dSf = np.stack([o[4] for o in node_out])                 # (q, N)
 
-    # -- weight GPs ----------------------------------------------------------
-    dv2 = muF ** 2 + dSf
-    ldK_w, muKmu_w, tr_w, ldSig_w, dSw = [], [], [], [], []
-    for i, wk in enumerate(gprn.weights):
-        d_w = dv2 / variance[i]                  # D_w = diag(dv2/variance)
-        out = _df_terms(wk.structure, wk.core_params(), t, d_w, muW[i])
+    # cumulative node traces: tr(K_j⁻¹ Σ_{k≤j} Σ_k)
+    if q > 1:
+        eyeN = jnp.eye(N, dtype=jnp.float32)
+        I_df = DF(eyeN, jnp.zeros_like(eyeN))
+        Linv64 = [np.asarray(to_f64(df_tri_solve(node_out[j][6], I_df)),
+                             dtype=np.float64) for j in range(q)]
+    tr_f = []
+    for j in range(q):
+        total = node_out[j][2]                   # same-index via identity
+        for k in range(j):
+            total += _cross_trace(Linv64[j], node_out[k][7], 1.0 / dv[k])
+        tr_f.append(total)
+
+    # -- weight GPs (lattice order a = j·p + i) ------------------------------
+    dv2 = muF ** 2 + dSf                                     # (q, N)
+    # reference quirk: prior μ rows come from the RAW (p,q,N) flatten
+    muW_raw = muW.reshape(q * p, N)
+    ldK_w, muKmu_w, tr_w, ldSig_w = [], [], [], []
+    dSw = np.empty((q, p, N))
+    for a, wk in enumerate(gprn.weights):
+        j, i = a // p, a % p
+        d_w = dv2[j] / variance[i]
+        out = _df_terms(wk.structure, wk.core_params(), t, d_w, muW_raw[a])
         ldK_w.append(out[0])
         muKmu_w.append(out[1])
         tr_w.append(out[2])
         ldSig_w.append(out[3])
-        dSw.append(out[4])
-    dSw = np.stack(dSw)                                      # (p, N)
+        dSw[j, i] = out[4]
 
-    # -- entropy (reference meanfield.py:1069-1093) --------------------------
-    ent = 0.5 * (ldSig_f + sum(ldSig_w)) \
-        + 0.5 * (p + 1) * N * (1 + np.log(2 * np.pi))
+    # -- entropy (meanfield.py:1069-1093) ------------------------------------
+    ent = 0.5 * (sum(o[3] for o in node_out) + sum(ldSig_w)) \
+        + 0.5 * q * (p + 1) * N * (1 + np.log(2 * np.pi))
 
-    # -- expected log prior (meanfield.py:992-1067; q=1: no cum terms) -------
-    logp = (-0.5 * ldK_f - 0.5 * (muKmu_f + tr_f)
+    # -- expected log prior (meanfield.py:992-1067) ---------------------------
+    logp = (sum(-0.5 * node_out[j][0] - 0.5 * (node_out[j][1] + tr_f[j])
+                for j in range(q))
             + sum(-0.5 * lk - 0.5 * (mk + tk)
                   for lk, mk, tk in zip(ldK_w, muKmu_w, tr_w))
-            - 0.5 * N * (p + 1) * np.log(2 * np.pi))
+            - 0.5 * N * q * (p + 1) * np.log(2 * np.pi))
 
     # -- expected log likelihood (meanfield.py:895-990; raw-y quirk) ---------
     logl = -0.5 * np.sum(np.log(2 * np.pi * variance))
-    omega_nu = muW * muF[None, :]
+    omega_nu = np.einsum("pqn,qn->pn", muW, muF)
     res = y_raw - omega_nu
     logl -= 0.5 * np.sum(res ** 2 / variance)
-    quad = (dSf[None, :] * muW ** 2 + dSw * muF[None, :] ** 2
-            + dSf[None, :] * dSw) / variance
+    muW_qp = muW.transpose(1, 0, 2)                          # (q, p, N)
+    quad = (dSf[:, None, :] * muW_qp ** 2
+            + dSw * muF[:, None, :] ** 2
+            + dSf[:, None, :] * dSw) / variance[None, :, :]
     logl -= 0.5 * np.sum(quad)
 
-    return float(logl + logp + ent)
+    return float((logl + logp + ent) / q)
+
+
+def elbo_exact_q1(gprn, mu=None, var=None):
+    """Backwards-compatible alias of :func:`elbo_exact`."""
+    return elbo_exact(gprn, mu=mu, var=var)

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import pytest
 
 import gpyrn_tpu as g
-from gpyrn_tpu.models.exact import elbo_exact_q1
+from gpyrn_tpu.models.exact import elbo_exact, elbo_exact_q1
 
 
 def _fixed_point(gprn, tol=1e-12, max_iter=50000):
@@ -85,16 +85,29 @@ def test_end_to_end_f32_state(tiny_dataset):
     assert e_exact == pytest.approx(e_gold, rel=2e-3)
 
 
+def test_evaluator_q2_cumulative_cross_traces():
+    """q = 2 exercises the reference's cumulative-sumSigmaF quirk
+    (df64 cross-traces) and the scrambled weight-mean flatten."""
+    rng = np.random.default_rng(7)
+    N = 22
+    t = np.sort(rng.uniform(0, 40, N))
+    data = []
+    for i in range(2):
+        data += [np.sin(2 * np.pi * t / (9 + 3 * i))
+                 + 0.1 * rng.standard_normal(N), np.full(N, 0.1)]
+    gprn = g.inference(2, t, *data)
+    gprn.set_components(
+        [g.covfunc.Periodic(1.0, 9.0, 0.6), g.covfunc.Matern52(1.0, 6.0)],
+        [g.covfunc.SquaredExponential(1.0 + 0.1 * k, 8.0)
+         for k in range(4)],
+        [None, None], [0.1, 0.1])
+    e_gold, mu, var = _fixed_point(gprn)
+    e_exact = elbo_exact(gprn, mu=mu, var=var)
+    assert e_exact == pytest.approx(e_gold, rel=1e-5)
+
+
 def test_guardrails(tiny_dataset):
     t, y, yerr = tiny_dataset
-    gprn = g.inference(2, t, y, yerr)
-    gprn.set_components(
-        [g.covfunc.Periodic(1.0, 10.0, 0.5),
-         g.covfunc.SquaredExponential(1.0, 5.0)],
-        [g.covfunc.Constant(1.0)] * 2, [None], [0.1])
-    with pytest.raises(NotImplementedError):
-        elbo_exact_q1(gprn)
-
     gprn1 = g.inference(1, t, y, yerr)
     gprn1.set_components(g.covfunc.Periodic(1.0, 10.0, 0.5),
                          g.covfunc.SquaredExponential(1.0, 5.0),
