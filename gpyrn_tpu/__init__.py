@@ -28,9 +28,10 @@ from gpyrn_tpu import datasets                 # noqa: E402
 from gpyrn_tpu.ops.means import Constant, Linear              # noqa: E402
 from gpyrn_tpu.ops.kernels import (SquaredExponential,        # noqa: E402
                                    QuasiPeriodic)
+from gpyrn_tpu.models.gp import GP                            # noqa: E402
 
 __all__ = [
     "inference", "covfunc", "meanfunc", "meanfield", "evidence",
-    "nonparametric", "priors", "datasets",
+    "nonparametric", "priors", "datasets", "GP",
     "Constant", "Linear", "SquaredExponential", "QuasiPeriodic",
 ]
