@@ -64,15 +64,16 @@ def ensure_compile_cache() -> None:
     global _CACHE_SETUP_DONE
     if _CACHE_SETUP_DONE:
         return
-    _CACHE_SETUP_DONE = True
     cache_dir = os.environ.get("GPYRN_TPU_COMPILE_CACHE",
                                os.path.expanduser("~/.cache/gpyrn_tpu_xla"))
     if not cache_dir or cache_dir == "0":
+        _CACHE_SETUP_DONE = True
         return
     try:
         backend = jax.default_backend()
     except Exception:
-        return
+        return      # transient backend-init failure: retry on next call
+    _CACHE_SETUP_DONE = True
     if backend == "cpu":
         return
     # scope by the primary platform so "tpu" and "tpu,cpu" share entries

@@ -111,6 +111,10 @@ class EnsembleResult:
 
     @classmethod
     def load(cls, filename: str) -> "EnsembleResult":
+        import os
+        if not os.path.exists(filename) and \
+                os.path.exists(str(filename) + ".npz"):
+            filename = str(filename) + ".npz"   # savez appends .npz
         z = np.load(filename, allow_pickle=False)
         return cls(chain=z["chain"], log_prob=z["log_prob"], elbo=z["elbo"],
                    parameter_names=[str(s) for s in z["parameter_names"]],

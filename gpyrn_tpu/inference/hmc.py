@@ -45,6 +45,10 @@ class HMCResult:
 
     @classmethod
     def load(cls, filename) -> "HMCResult":
+        import os
+        if not os.path.exists(filename) and \
+                os.path.exists(str(filename) + ".npz"):
+            filename = str(filename) + ".npz"   # savez appends .npz
         z = np.load(filename, allow_pickle=False)
         return cls(chain=z["chain"], log_prob=z["log_prob"],
                    acceptance=float(z["acceptance"]),
@@ -118,11 +122,14 @@ def run_hmc(gprn, priors: Dict, n_samples: int = 500, n_warmup: int = 100,
         z_new, r_new, lp_new = leapfrog(z, r0, eps)
         log_accept = (lp_new - 0.5 * jnp.sum(r_new ** 2)) - \
             (lp - 0.5 * jnp.sum(r0 ** 2))
-        # reject non-finite PROPOSALS; but if the CURRENT state is
-        # invalid (NaN/-inf logpost, e.g. a bad prior draw) accept any
-        # finite proposal so chains can escape instead of freezing
+        # reject non-finite PROPOSALS (including NaN entering through the
+        # momentum when a gradient goes NaN — an unguarded NaN here would
+        # poison the dual-averaging statistics via alpha); but if the
+        # CURRENT state is invalid (NaN/-inf logpost, e.g. a bad prior
+        # draw) accept any finite proposal so chains escape
         ok_new = jnp.isfinite(lp_new)
-        log_accept = jnp.where(ok_new, log_accept, -jnp.inf)
+        log_accept = jnp.where(ok_new & jnp.isfinite(log_accept),
+                               log_accept, -jnp.inf)
         log_accept = jnp.where(jnp.isfinite(lp) | ~ok_new,
                                log_accept, jnp.inf)
         accept = jnp.log(jax.random.uniform(k2, dtype=z.dtype)) < log_accept

@@ -581,7 +581,8 @@ class inference:
         all_names = np.array(list(self.parameters_dict.keys()))
         free_names = all_names[~self.frozen_mask]
         ndim = len(free_names)
-        nwalkers = kwargs.pop('nwalkers', 2 * ndim)
+        nwalkers_arg = kwargs.pop('nwalkers', None)
+        nwalkers = 2 * ndim if nwalkers_arg is None else nwalkers_arg
 
         missing = [n for n in free_names if n not in priors]
         if missing:
@@ -589,8 +590,8 @@ class inference:
 
         if sampler == 'hmc':
             from gpyrn_tpu.inference.hmc import run_hmc
-            if nwalkers != 2 * ndim:    # user-specified walker count
-                kwargs.setdefault('n_chains', nwalkers)
+            if nwalkers_arg is not None:
+                kwargs.setdefault('n_chains', nwalkers_arg)
             return run_hmc(self, priors, n_samples=niter, p0=p0,
                            checkpoint=checkpoint, **kwargs)
         if sampler == 'emcee':

@@ -129,6 +129,8 @@ def elbo_exact(gprn, mu=None, var=None):
         if not df_supported(k.structure):
             raise ValueError(f"kernel {k} not df64-supported")
 
+    if (mu is None) != (var is None):
+        raise ValueError("pass both mu and var, or neither")
     if mu is None:
         mu, var = gprn._mu, gprn._var
     if mu is None:

@@ -30,6 +30,8 @@ __all__ = ["GP"]
 @functools.lru_cache(maxsize=256)
 def _conditional_fn(structure):
     """Jitted GP conditional for one kernel structure."""
+    from gpyrn_tpu.config import ensure_compile_cache
+    ensure_compile_cache()
 
     @jax.jit
     def conditional(params, t, tstar, m, v):

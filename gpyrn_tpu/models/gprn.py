@@ -53,6 +53,11 @@ __all__ = [
     "unpack_parameters", "make_engine", "Engine",
 ]
 
+# Test hook: force the column-chunked wide-solve paths at small N
+# (normally they only engage above N=2048, which unit tests don't
+# reach).  Set, call make_engine.cache_clear(), build, restore.
+_CHUNK_OVERRIDE = None
+
 
 class GPRNSpec(NamedTuple):
     """Static description of a GPRN model (hashable; compilation key).
@@ -270,7 +275,7 @@ def make_engine(spec: GPRNSpec,
         panel copies of its RHS in HBM (~40× the RHS size in temps —
         OOM at N=10k); chunking the RHS bounds the temp to O(N·C) while
         producing the identical full solution."""
-        C = min(2048, ((N + 127) // 128) * 128)
+        C = _CHUNK_OVERRIDE or min(2048, ((N + 127) // 128) * 128)
         if N <= C:
             return _trisolve(L, K)
         n_chunks = (N + C - 1) // C
@@ -351,7 +356,7 @@ def make_engine(spec: GPRNSpec,
         # the CUMULATIVE sum of sigma_f over nodes <= j
         cum_sigma = jnp.cumsum(sigma_f, axis=0)
         S_all = jnp.concatenate([cum_sigma, sigma_w], axis=0)
-        if N <= 2048:
+        if N <= 2048 and _CHUNK_OVERRIDE is None:
             tr_all = vmap(lambda l, s: jnp.trace(
                 cho_solve((l, True), s)))(L_all, S_all)
         else:
@@ -384,7 +389,7 @@ def make_engine(spec: GPRNSpec,
     # triangular solve stages O(N/128) panel copies of its RHS, so a
     # full N×N RHS costs ~40× the matrix size in HLO temps (OOM at
     # N=10k); solving C columns at a time bounds the temp to O(N·C)
-    DIAG_CHUNK = min(2048, ((N + 127) // 128) * 128)
+    DIAG_CHUNK = _CHUNK_OVERRIDE or min(2048, ((N + 127) // 128) * 128)
 
     def _sigma_apply_and_diag(L, K, rhs):
         """Given chol L of A = K + D⁻¹ and a batch of matrices K with

@@ -51,17 +51,32 @@ def df(hi, lo=None) -> DF:
 
 
 def from_f64(x) -> DF:
-    """Split float64 (or any) input into a double-single pair."""
-    x = jnp.asarray(x, dtype=jnp.float64) if \
-        jax.config.jax_enable_x64 else jnp.asarray(x, dtype=jnp.float32)
-    hi = x.astype(jnp.float32)
-    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
-    return DF(hi, lo)
+    """Split a CONCRETE float64 input into a double-single pair.
+
+    The split happens on the host in numpy so it is exact regardless of
+    ``jax_enable_x64`` — with the old jnp-based split, x64-off mode
+    silently zeroed the low word and degraded everything downstream to
+    plain f32.  Traced jax values are rejected (the whole point of df64
+    is f32-only device code; f64 inputs enter from the host)."""
+    import numpy as _np
+    try:
+        x64 = _np.asarray(x, dtype=_np.float64)
+    except Exception as e:
+        raise TypeError(
+            "from_f64 needs a concrete (host) value — it splits in "
+            "float64 on the host precisely so the device never needs "
+            "x64") from e
+    hi = x64.astype(_np.float32)
+    lo = (x64 - hi.astype(_np.float64)).astype(_np.float32)
+    return DF(jnp.asarray(hi), jnp.asarray(lo))
 
 
 def to_f64(a: DF):
-    """Recombine to float64 (requires x64 enabled; for testing)."""
-    return a.hi.astype(jnp.float64) + a.lo.astype(jnp.float64)
+    """Recombine to a float64 NUMPY value (host transfer; exact
+    independently of ``jax_enable_x64``)."""
+    import numpy as _np
+    return (_np.asarray(a.hi, dtype=_np.float64)
+            + _np.asarray(a.lo, dtype=_np.float64))
 
 
 # -- error-free transformations --------------------------------------------

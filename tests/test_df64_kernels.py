@@ -87,3 +87,46 @@ def test_unsupported_structure_raises(t):
         dk.df_kernel_matrix(("WN",), np.array([0.1]), t, NUGGET)
     assert not dk.df_supported(("HP", 3))
     assert dk.df_supported(("+", ("SE",), ("M52",)))
+
+
+def test_df64_accuracy_independent_of_x64(tmp_path):
+    """Regression: with GPYRN_TPU_X64=0 (the TPU speed mode) the df64
+    pipeline must retain full accuracy — the old jnp-based from_f64
+    silently zeroed the low word without x64."""
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "x64off.py"
+    script.write_text(f"""
+import os
+os.environ["GPYRN_TPU_X64"] = "0"
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import gpyrn_tpu as g
+from gpyrn_tpu.ops import df64_kernels as dk
+rng = np.random.default_rng(0)
+t = np.sort(rng.uniform(0, 100, 120))
+k = g.covfunc.QuasiPeriodic(1.0, 30.0, 20.0, 0.7)
+ld = dk.df_logdet_kernel(k.structure, k.core_params(), t, 1e-6)
+print("LD", repr(float(ld)))
+""")
+    out = subprocess.run([sys.executable, str(script)],
+                         capture_output=True, text=True, timeout=300,
+                         env={**os.environ, "PYTHONPATH": "",
+                              "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr[-800:]
+    ld_x64off = float(out.stdout.strip().split("LD ")[1])
+
+    # exact f64 value computed here (x64 on in the test process)
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0, 100, 120))
+    k = covfunc.QuasiPeriodic(1.0, 30.0, 20.0, 0.7)
+    K64 = np.asarray(covfunc.evaluate(
+        k.structure, np.asarray(k.core_params(), dtype=np.float64),
+        r=(t[:, None] - t[None, :]))) + 1e-6 * np.eye(120)
+    exact = float(np.linalg.slogdet(K64)[1])
+    assert ld_x64off == pytest.approx(exact, rel=1e-5)
