@@ -1,0 +1,92 @@
+"""Randomized ELBO-parity fuzzing against the reference.
+
+Each case draws a random model (q, p, N, kernel types, hyperparameters,
+means, jitters) from the reference-compatible space and requires the
+full coordinate-ascent fit to match the reference's ELBO, iteration
+count, and variational posteriors."""
+import numpy as np
+import pytest
+
+import gpyrn_tpu as g
+from .refutil import import_reference
+
+# kernels that are clean in BOTH implementations, with samplers
+_KERNELS = {
+    "SquaredExponential": lambda r: (r.uniform(0.5, 2), r.uniform(3, 30)),
+    "Periodic": lambda r: (r.uniform(0.5, 2), r.uniform(5, 20),
+                           r.uniform(0.3, 1.5)),
+    "QuasiPeriodic": lambda r: (r.uniform(0.5, 2), r.uniform(10, 40),
+                                r.uniform(5, 20), r.uniform(0.3, 1.5)),
+    "RationalQuadratic": lambda r: (r.uniform(0.5, 2), r.uniform(0.3, 3),
+                                    r.uniform(3, 30)),
+    "Matern32": lambda r: (r.uniform(0.5, 2), r.uniform(3, 30)),
+    "Matern52": lambda r: (r.uniform(0.5, 2), r.uniform(3, 30)),
+    "Exponential": lambda r: (r.uniform(0.5, 2), r.uniform(3, 30)),
+    "Cosine": lambda r: (r.uniform(0.5, 2), r.uniform(5, 20)),
+    "Constant": lambda r: (r.uniform(0.5, 2),),
+}
+
+_MEANS = {
+    None: None,
+    "Constant": lambda r: (r.uniform(-1, 1),),
+    "Linear": lambda r: (r.uniform(-0.05, 0.05), r.uniform(-1, 1)),
+}
+
+
+def _draw(rng):
+    name = list(_KERNELS)[rng.integers(len(_KERNELS))]
+    return name, _KERNELS[name](rng)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_model_parity(seed):
+    rc, rmn, rm = import_reference()
+    rng = np.random.default_rng(1000 + seed)
+    q = int(rng.integers(1, 3))
+    p = int(rng.integers(1, 4))
+    N = int(rng.integers(15, 30))
+    t = np.sort(rng.uniform(0, 50, N))
+    data = []
+    for i in range(p):
+        data += [np.sin(2 * np.pi * t / rng.uniform(6, 20))
+                 + 0.1 * rng.standard_normal(N),
+                 np.full(N, rng.uniform(0.05, 0.2))]
+
+    nodes_o, nodes_r = [], []
+    for _ in range(q):
+        name, pars = _draw(rng)
+        nodes_o.append(getattr(g.covfunc, name)(*pars))
+        nodes_r.append(getattr(rc, name)(*pars))
+    weights_o, weights_r = [], []
+    for _ in range(q * p):
+        name, pars = _draw(rng)
+        weights_o.append(getattr(g.covfunc, name)(*pars))
+        weights_r.append(getattr(rc, name)(*pars))
+    means_o, means_r = [], []
+    for _ in range(p):
+        mname = list(_MEANS)[rng.integers(len(_MEANS))]
+        if mname is None:
+            means_o.append(None)
+            means_r.append(None)
+        else:
+            pars = _MEANS[mname](rng)
+            means_o.append(getattr(g.meanfunc, mname)(*pars))
+            means_r.append(getattr(rmn, mname)(*pars))
+    jitters = list(rng.uniform(0.05, 0.3, p))
+
+    ours = g.inference(q, t, *data)
+    ours.set_components(nodes_o, weights_o, means_o, jitters)
+    e1, mu1, var1, it1 = ours.ELBOcalc(max_iter=150)
+
+    ref = rm.inference(q, t, *data)
+    ref.set_components(nodes_r, weights_r, means_r, jitters)
+    e2, mu2, var2, it2 = ref.ELBOcalc(nodes_r, weights_r, means_r,
+                                      jitters, max_iter=150)
+
+    assert it1 == it2, f"iteration count {it1} vs {it2}"
+    np.testing.assert_allclose(e1, e2, rtol=1e-7,
+                               err_msg=f"seed {seed} q={q} p={p}")
+    np.testing.assert_allclose(mu1, np.asarray(mu2).ravel(),
+                               atol=2e-7, rtol=1e-5)
+    np.testing.assert_allclose(var1, np.asarray(var2).ravel(),
+                               atol=2e-7, rtol=1e-5)
