@@ -69,3 +69,34 @@ def test_sample_shapes(fitted_pair):
     assert nodes.shape == (1, ours.N)
     assert weights.shape == (2, ours.N)
     assert np.all(np.isfinite(nodes)) and np.all(np.isfinite(weights))
+
+
+def test_prediction_parity_with_means():
+    """Prediction combine includes the mean functions (m_star term)."""
+    rc, rmn, rm = import_reference()
+    rng = np.random.default_rng(21)
+    N = 18
+    t = np.sort(rng.uniform(0, 30, N))
+    y1 = 1.5 + 0.02 * t + np.sin(2 * np.pi * t / 9) \
+        + 0.1 * rng.standard_normal(N)
+    e = np.full(N, 0.1)
+
+    ours = g.inference(1, t, y1, e)
+    ours.set_components([g.covfunc.Periodic(1.0, 9.0, 0.7)],
+                        [g.covfunc.SquaredExponential(1.0, 6.0)],
+                        [g.meanfunc.Linear(0.02, 1.8)], [0.1])
+    ref = rm.inference(1, t, y1, e)
+    rn = [rc.Periodic(1.0, 9.0, 0.7)]
+    rw = [rc.SquaredExponential(1.0, 6.0)]
+    rmean = [rmn.Linear(0.02, 1.8)]
+    ref.set_components(rn, rw, rmean, [0.1])
+
+    e1, *_ = ours.ELBOcalc(max_iter=200)
+    e2, *_ = ref.ELBOcalc(rn, rw, rmean, [0.1], max_iter=200)
+    np.testing.assert_allclose(e1, e2, rtol=1e-8)
+
+    tstar = np.linspace(-1.0, 31.0, 23)
+    m1, v1 = ours._Prediction(tstar=tstar)
+    m2, v2 = ref._Prediction(tstar=tstar)
+    np.testing.assert_allclose(m1, np.asarray(m2), atol=1e-7)
+    np.testing.assert_allclose(v1, np.asarray(v2), atol=1e-7)
