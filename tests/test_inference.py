@@ -211,3 +211,25 @@ def test_nelbo_matches_negative_elbo(small_gprn):
     # same optimum — the loose rel-std stopping rule permits small drift
     e = small_gprn.ELBOcalc(mu='previous', var='previous')[0]
     np.testing.assert_allclose(nelbo, -e, rtol=5e-3)
+
+
+def test_elbocalc_explicit_mu_var_arrays():
+    """Explicit mu/var arrays start the fit from the given state.
+
+    (The reference crashes here on numpy >= 2 — its `mu == 'previous'`
+    comparison against an array raises, meanfield.py:598 — so the oracle
+    is our own engine called directly with the same state.)"""
+    t, data = _sine_problem(N=20, seed=9)
+    ours, _, _ = _build_pair(1, 1, t, data, with_means=False)
+    rng = np.random.default_rng(3)
+    d = ours.d
+    mu0 = rng.standard_normal(d)
+    var0 = rng.uniform(0.1, 1.0, d)
+    e1, mu1, var1, it1 = ours.ELBOcalc(mu=mu0.copy(), var=var0.copy(),
+                                       max_iter=80)
+    eng = ours.engine
+    out = eng.elbo_fit(ours._theta(), np.asarray(t, dtype=float),
+                       ours.y, ours.yerr2, mu0, var0, 80)
+    assert it1 == int(out[3])
+    np.testing.assert_allclose(e1, float(out[0]), rtol=1e-12)
+    np.testing.assert_allclose(mu1, np.asarray(out[1]), atol=1e-12)
