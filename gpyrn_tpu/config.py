@@ -92,8 +92,13 @@ _COMPUTE_DTYPE = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
 def set_compute_dtype(dtype) -> None:
-    """Set the dtype used by the inference engine (float64 for parity,
-    float32/bfloat16 for TPU speed)."""
+    """Record a preferred compute dtype (advisory).
+
+    The engines are dtype-polymorphic — they compute in whatever dtype
+    the input arrays carry — so the actual switch is casting your
+    inputs (or using ``ELBOcalc(precision='mixed')`` /
+    ``GPYRN_TPU_X64=0``).  This knob only records a preference that
+    :func:`compute_dtype` reports back."""
     global _COMPUTE_DTYPE
     _COMPUTE_DTYPE = jnp.dtype(dtype)
 

@@ -76,3 +76,12 @@ def test_optimize_respects_frozen(gprn):
     gprn.optimize(options={'maxiter': 10})
     assert gprn.nodes[0].pars[1] == P_before
     gprn.thaw_all_parameters()
+
+
+def test_optimize_adam_respects_frozen(gprn):
+    gprn.freeze_parameter(name='node1.P')
+    P_before = gprn.nodes[0].pars[1]
+    res = gprn.optimize_adam(n_steps=10, learning_rate=3e-2, n_sweeps=8)
+    assert gprn.nodes[0].pars[1] == P_before
+    assert np.isfinite(res['elbo'])
+    gprn.thaw_all_parameters()
