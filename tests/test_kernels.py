@@ -197,3 +197,19 @@ def test_psd_of_main_kernels(lag):
         K = k(lag) + 1e-8 * np.eye(lag.shape[0])
         w = np.linalg.eigvalsh(K)
         assert w.min() > -1e-9, f"{name} not PSD"
+
+
+def test_param_names_match_par_counts():
+    """Metadata consistency: every kernel's _param_names length equals
+    its parameter count (parameters_dict naming relies on this)."""
+    import inspect
+    from gpyrn_tpu.ops import kernels as K
+    samples = dict(_STATIONARY)
+    samples.update(_NONSTATIONARY)
+    samples["NewRQP"] = (1.2, 0.7, 0.9, 6.0, 9.0, 0.8)
+    for name, args in samples.items():
+        k = getattr(K, name)(*args)
+        assert len(k._param_names) == k.pars.size, name
+        # registry count agrees with the OO shell (core map aware)
+        assert K.n_params(k.structure) == len(np.atleast_1d(
+            np.asarray(k.core_params()))), name

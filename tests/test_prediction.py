@@ -100,3 +100,15 @@ def test_prediction_parity_with_means():
     m2, v2 = ref._Prediction(tstar=tstar)
     np.testing.assert_allclose(m1, np.asarray(m2), atol=1e-7)
     np.testing.assert_allclose(v1, np.asarray(v2), atol=1e-7)
+
+
+def test_predict_default_tstar_padding(fitted_pair):
+    """Default prediction grid spans the data ±20% of its extent
+    (reference meanfield.py:1381-1400)."""
+    ours, _ = fitted_pair
+    t = np.asarray(ours.time)
+    tstar, *_ = ours.predict(nn=77)
+    ptp = np.ptp(t)
+    assert tstar.shape == (77,)
+    assert tstar[0] == pytest.approx(t.min() - 0.2 * ptp)
+    assert tstar[-1] == pytest.approx(t.max() + 0.2 * ptp)
