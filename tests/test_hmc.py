@@ -77,3 +77,25 @@ def test_hmc_missing_prior_raises(tiny_dataset):
                         [None], [0.1])
     with pytest.raises(ValueError, match='missing priors'):
         run_hmc(gprn, {'node1.theta': pr.Normal(1, 1)}, n_samples=1)
+
+
+def test_hmc_multi_node_smoke(multi_dataset):
+    """HMC over a q=2, p=3 model (the flagship shape)."""
+    t, *data = multi_dataset
+    gprn = g.inference(2, t, *data)
+    gprn.set_components(
+        [g.covfunc.Periodic(1.2, 9.0, 0.6), g.covfunc.Matern52(1.1, 4.0)],
+        [g.covfunc.SquaredExponential(1.0 + 0.1 * k, 5.0)
+         for k in range(6)],
+        [None] * 3, [0.1] * 3)
+    gprn.ELBOcalc(max_iter=100)
+    # sample just the periods/jitters to keep the smoke fast
+    gprn._apply_vars_selection(['node1.P', 'jitter1'])
+    priors = {'node1.P': pr.Normal(9.0, 0.5),
+              'jitter1': pr.LogNormal(np.log(0.1), 0.3)}
+    res = run_hmc(gprn, priors, n_samples=6, n_warmup=3, n_chains=2,
+                  n_leapfrog=3, n_sweeps=6, p0=gprn.get_parameters(),
+                  seed=3)
+    gprn.thaw_all_parameters()
+    assert res.chain.shape == (6, 2, 2)
+    assert np.all(np.isfinite(res.log_prob))
