@@ -168,10 +168,20 @@ def wrms(array, weights):
 
 def anderson_darling_test(r):
     """Anderson-Darling normality test with a compact label
-    (reference _utils.py:299-306)."""
+    (reference _utils.py:299-306).
+
+    scipy ≥ 1.17 deprecates the critical-value attributes in favour of
+    a ``method`` argument returning a p-value; both result shapes are
+    handled so the label survives the scipy 1.19 removal."""
+    import warnings
     from scipy.stats import anderson
-    result = anderson(r)
-    s = result.significance_level[result.statistic > result.critical_values]
-    if s.size == 0:
-        return result, f"A-D: {result.significance_level[-1]:.0f}%"
-    return result, f"A-D: {s.max():.0f}%"
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", FutureWarning)
+        result = anderson(r)
+    if hasattr(result, "significance_level"):
+        s = result.significance_level[
+            result.statistic > result.critical_values]
+        if s.size == 0:
+            return result, f"A-D: {result.significance_level[-1]:.0f}%"
+        return result, f"A-D: {s.max():.0f}%"
+    return result, f"A-D p: {result.pvalue:.2f}"  # pragma: no cover
