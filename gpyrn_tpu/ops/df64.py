@@ -156,20 +156,30 @@ def df_sqrt(a: DF) -> DF:
 
 
 def df_sum(a: DF, axis=None) -> DF:
-    """Sum of a DF array along ``axis`` via pairwise-style reduction:
-    sequential fold in (hi, lo) — each partial sum is df-accurate."""
+    """Sum of a DF array along ``axis`` by PAIRWISE halving: log₂(n)
+    vectorized df_add rounds (each df-accurate), so the reduction is
+    parallel on the VPU instead of an n-step sequential fold — the
+    change that lets df64 reductions participate in O(N³) linear
+    algebra at realistic N (the old ``lax.scan`` fold serialized every
+    inner product)."""
     if axis is None:
         flat = DF(a.hi.ravel(), a.lo.ravel())
         return df_sum(flat, axis=0)
 
-    def fold(carry, x):
-        return df_add(carry, DF(*x)), None
-
-    moved_hi = jnp.moveaxis(a.hi, axis, 0)
-    moved_lo = jnp.moveaxis(a.lo, axis, 0)
-    init = DF(jnp.zeros_like(moved_hi[0]), jnp.zeros_like(moved_lo[0]))
-    out, _ = lax.scan(fold, init, (moved_hi, moved_lo))
-    return out
+    hi = jnp.moveaxis(a.hi, axis, 0)
+    lo = jnp.moveaxis(a.lo, axis, 0)
+    n = hi.shape[0]
+    while n > 1:
+        m = (n + 1) // 2
+        pad = 2 * m - n
+        if pad:
+            zshape = (pad,) + hi.shape[1:]
+            hi = jnp.concatenate([hi, jnp.zeros(zshape, hi.dtype)])
+            lo = jnp.concatenate([lo, jnp.zeros(zshape, lo.dtype)])
+        s = df_add(DF(hi[:m], lo[:m]), DF(hi[m:], lo[m:]))
+        hi, lo = s.hi, s.lo
+        n = m
+    return DF(hi[0], lo[0])
 
 
 def df_dot(a: DF, b: DF, axis=-1) -> DF:
