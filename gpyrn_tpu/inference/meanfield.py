@@ -61,9 +61,15 @@ class inference:
         self._mu_var_iters = 0
         self.update_muvar_after = 50
         self.elbo_max_iter = 5000
-        self.refine_sweeps = 3      # f64 polish sweeps in mixed precision
+        self.refine_sweeps = 3      # polish sweeps in mixed precision
         self.mixed_tol = 1e-4       # f32 state-convergence tolerance
-        self.refine_device = 'auto'  # 'auto'|'cpu'|None: where f64
+        self.refine_method = 'auto'  # 'auto'|'df64'|'f64': how the
+        # mixed-precision polish runs.  'df64' = blocked double-single
+        # sweeps + exact ELBO terms ON the accelerator (f32 hardware
+        # only, models/exact_blocked.py); 'f64' = the float64 engine
+        # sweeps; 'auto' picks df64 on TPU when every kernel has a df64
+        # assembly rule, f64 otherwise (f64 is native speed on CPU)
+        self.refine_device = 'auto'  # 'auto'|'cpu'|None: where the f64
         # polish runs ('auto' prefers a CPU device when the default
         # backend is TPU — software-emulated f64 there is slow at
         # large N; run with JAX_PLATFORMS=tpu,cpu to make one available)
@@ -334,6 +340,25 @@ class inference:
             nodes, weights, means, jitters)
         return _core.pack_parameters(nodes, weights, means, jitters)
 
+    def _use_df64_refine(self) -> bool:
+        """Whether the mixed-precision polish runs as on-chip blocked
+        df64 sweeps (models/exact_blocked.py) instead of f64 engine
+        sweeps — the round-2 path that keeps the EXACT evaluation on
+        the accelerator (f32 hardware only, no CPU hop)."""
+        method = getattr(self, 'refine_method', 'auto')
+        if method == 'f64':
+            return False
+        from gpyrn_tpu.models.exact_blocked import exact_refine_supported
+        supported = exact_refine_supported(self.engine.spec)
+        if method == 'df64':
+            if not supported:
+                raise ValueError(
+                    "refine_method='df64' but a kernel in this model has "
+                    "no df64 assembly rule; use 'auto' or 'f64'")
+            return True
+        import jax
+        return supported and jax.default_backend() == 'tpu'
+
     def _refine_device_ctx(self):
         """Device context for the f64 polish stage of the mixed fit."""
         import contextlib
@@ -419,12 +444,19 @@ class inference:
             mu32, var32, n_iter, converged = self.engine.fit_state(
                 f32(theta), f32(t_arr), f32(self.y), f32(self.yerr2),
                 f32(mu0), f32(var0), max_iter, self.mixed_tol)
-            with self._refine_device_ctx():
-                elbo, mu_out, var_out = self.engine.elbo_refine(
-                    theta, t_arr, self.y, self.yerr2,
-                    jnp.asarray(np.asarray(mu32), dtype=jnp.float64),
-                    jnp.asarray(np.asarray(var32), dtype=jnp.float64),
-                    self.refine_sweeps)
+            if self._use_df64_refine():
+                from gpyrn_tpu.models.exact_blocked import refine_exact
+                elbo, mu_out, var_out = refine_exact(
+                    self, np.asarray(mu32, dtype=np.float64),
+                    np.asarray(var32, dtype=np.float64),
+                    n_sweeps=self.refine_sweeps)
+            else:
+                with self._refine_device_ctx():
+                    elbo, mu_out, var_out = self.engine.elbo_refine(
+                        theta, t_arr, self.y, self.yerr2,
+                        jnp.asarray(np.asarray(mu32), dtype=jnp.float64),
+                        jnp.asarray(np.asarray(var32), dtype=jnp.float64),
+                        self.refine_sweeps)
             trace = np.full(1, float(elbo))
             hist_len = 1
             n_iter = int(n_iter) + self.refine_sweeps

@@ -34,7 +34,16 @@ __all__ = ["DF", "df", "to_f64", "from_f64", "df_add", "df_sub", "df_mul",
            "df_div", "df_sqrt", "df_neg", "df_sum", "df_dot",
            "df_cholesky", "df_logdet_from_chol", "df_tri_solve"]
 
-_SPLIT = 4097.0   # 2^12 + 1 for binary32 (Dekker splitting constant)
+# Veltkamp/Dekker split by MANTISSA BITMASK rather than the classic
+# (2^12+1)·a multiply-subtract chain: XLA's algebraic simplifier
+# rewrites t − (t − a) → a under jit in some fusion contexts (observed
+# for df_mul(a, a) squares: the low word silently became 0 and df64
+# kernel assembly degraded to ~1e-7), exactly the same class of rewrite
+# that forced the trunc-based slice extraction in ops/df64_gemm.py.
+# Masking the low 12 mantissa bits is bit-identical in effect (hi gets
+# ≤12 significant bits, lo = a − hi is exact) and opaque to the
+# simplifier.
+_SPLIT_MASK = ~0xFFF
 
 
 class DF(NamedTuple):
@@ -82,7 +91,10 @@ def to_f64(a: DF):
 # -- error-free transformations --------------------------------------------
 
 def _two_sum(a, b):
-    s = a + b
+    # s must be frozen: the simplifier folds (a + b) − a → b when it can
+    # see the sum (observed with broadcast-constant operands, e.g. the
+    # Matérn-5/2 1 + frac term), destroying the error term.
+    s = _freeze(a + b)
     bb = s - a
     err = (a - (s - bb)) + (b - bb)
     return s, err
@@ -90,20 +102,37 @@ def _two_sum(a, b):
 
 def _quick_two_sum(a, b):
     """Requires |a| >= |b|."""
-    s = a + b
+    s = _freeze(a + b)
     err = b - (s - a)
     return s, err
 
 
 def _split(a):
-    t = _SPLIT * a
-    hi = t - (t - a)
+    bits = lax.bitcast_convert_type(a, jnp.int32)
+    hi = lax.bitcast_convert_type(
+        jnp.bitwise_and(bits, jnp.int32(_SPLIT_MASK)), jnp.float32)
     lo = a - hi
     return hi, lo
 
 
+def _freeze(x):
+    """Pin ``x`` to its ROUNDED f32 value with an unfoldable select.
+
+    XLA:CPU's fusion codegen contracts `mul → add` chains into fmas —
+    even across ``lax.optimization_barrier`` and with every fast-math
+    flag off (measured: jit of ``a*b + e`` returns fma(a,b,e), so
+    ``df_mul`` silently lost its low word and df64 degraded to ~1e-7).
+    Error-free transformations need the PRODUCT'S ROUNDED VALUE to be a
+    single consistent quantity, so the product is routed through a
+    select whose predicate (x == x) no simplifier can fold under IEEE
+    NaN semantics; the contraction window closes and NaNs still
+    propagate (both branches are NaN when x is).  One compare+select
+    per df multiply — noise next to the arithmetic it protects."""
+    return jnp.where(x == x, x, jnp.float32(jnp.nan))
+
+
 def _two_prod(a, b):
-    p = a * b
+    p = _freeze(a * b)
     ah, al = _split(a)
     bh, bl = _split(b)
     err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
@@ -129,7 +158,7 @@ def df_sub(a: DF, b: DF) -> DF:
 
 def df_mul(a: DF, b: DF) -> DF:
     p, e = _two_prod(a.hi, b.hi)
-    e = e + a.hi * b.lo + a.lo * b.hi
+    e = _freeze(e + a.hi * b.lo + a.lo * b.hi)
     hi, lo = _quick_two_sum(p, e)
     return DF(hi, lo)
 
@@ -156,30 +185,55 @@ def df_sqrt(a: DF) -> DF:
 
 
 def df_sum(a: DF, axis=None) -> DF:
-    """Sum of a DF array along ``axis`` by PAIRWISE halving: log₂(n)
-    vectorized df_add rounds (each df-accurate), so the reduction is
-    parallel on the VPU instead of an n-step sequential fold — the
-    change that lets df64 reductions participate in O(N³) linear
-    algebra at realistic N (the old ``lax.scan`` fold serialized every
-    inner product)."""
-    if axis is None:
-        flat = DF(a.hi.ravel(), a.lo.ravel())
-        return df_sum(flat, axis=0)
+    """Sum of a DF array along ``axis`` with df-accurate accumulation.
 
-    hi = jnp.moveaxis(a.hi, axis, 0)
-    lo = jnp.moveaxis(a.lo, axis, 0)
-    n = hi.shape[0]
-    while n > 1:
-        m = (n + 1) // 2
-        pad = 2 * m - n
-        if pad:
-            zshape = (pad,) + hi.shape[1:]
-            hi = jnp.concatenate([hi, jnp.zeros(zshape, hi.dtype)])
-            lo = jnp.concatenate([lo, jnp.zeros(zshape, lo.dtype)])
-        s = df_add(DF(hi[:m], lo[:m]), DF(hi[m:], lo[m:]))
-        hi, lo = s.hi, s.lo
-        n = m
-    return DF(hi[0], lo[0])
+    Two lowerings, chosen by backend at trace time:
+
+    * TPU (default): pairwise halving — log₂(n) vectorized df_add
+      rounds.  Fast on the VPU; the TPU compiler handles the halving
+      tree's slice consumers fine.
+    * CPU: ONE variadic ``lax.reduce`` with a df_add combiner.  The
+      halving tree is a compile-time bomb on XLA:CPU — its fusion pass
+      DUPLICATES the producer chain into every slice consumer, so with
+      a transcendental producer (``df_log`` ≈ 10³ HLO ops) a 40-element
+      log-sum took ~3 MINUTES of compile (measured;
+      ``lax.optimization_barrier`` does not stop the duplication) —
+      while the reduce compiles in ~1 s.  Conversely the tuple-reduce
+      lowers to a slow serial loop on TPU (measured 100× on the blocked
+      Cholesky), hence the split.
+
+    Accuracy: each step is df-accurate, so error stays ≤ n·1e-14
+    (sequential) / log n·1e-14 (halving) — both far inside the df64
+    budget for the GPRN's N ≲ 10⁴ reductions."""
+    hi, lo = a.hi, a.lo
+    if axis is None:
+        hi, lo = hi.ravel(), lo.ravel()
+        axis = 0
+    axis = axis % hi.ndim
+
+    if jax.default_backend() != "cpu":
+        hi = jnp.moveaxis(hi, axis, 0)
+        lo = jnp.moveaxis(lo, axis, 0)
+        n = hi.shape[0]
+        while n > 1:
+            m = (n + 1) // 2
+            pad = 2 * m - n
+            if pad:
+                zshape = (pad,) + hi.shape[1:]
+                hi = jnp.concatenate([hi, jnp.zeros(zshape, hi.dtype)])
+                lo = jnp.concatenate([lo, jnp.zeros(zshape, lo.dtype)])
+            s = df_add(DF(hi[:m], lo[:m]), DF(hi[m:], lo[m:]))
+            hi, lo = s.hi, s.lo
+            n = m
+        return DF(hi[0], lo[0])
+
+    def comb(acc, val):
+        s = df_add(DF(acc[0], acc[1]), DF(val[0], val[1]))
+        return (s.hi, s.lo)
+
+    zero = (jnp.zeros((), hi.dtype), jnp.zeros((), lo.dtype))
+    out_hi, out_lo = lax.reduce((hi, lo), zero, comb, dimensions=(axis,))
+    return DF(out_hi, out_lo)
 
 
 def df_dot(a: DF, b: DF, axis=-1) -> DF:
