@@ -58,6 +58,15 @@ __all__ = [
 # reach).  Set, call make_engine.cache_clear(), build, restore.
 _CHUNK_OVERRIDE = None
 
+# Upper bound of the masked fixed-sweep scan (`elbo_fixed`/`elbo_refine`):
+# sweep counts up to this are TRACED values, so varying them never
+# recompiles (skipped iterations are `lax.cond` no-ops — a carry copy;
+# the bound also caps reverse-AD residual memory).  Counts above it
+# dispatch to a static-length scan compiled per value (rare diagnostic
+# use).  64 covers every internal caller (refine 3, adam/HMC 30).
+import os as _os
+MAX_SWEEPS = int(_os.environ.get("GPYRN_TPU_MAX_SWEEPS", "64"))
+
 
 class GPRNSpec(NamedTuple):
     """Static description of a GPRN model (hashable; compilation key).
@@ -560,31 +569,40 @@ def make_engine(spec: GPRNSpec,
         var = jnp.concatenate([varf.ravel(), varw.ravel()])
         return elbo, mu, var
 
-    def elbo_fixed(theta, t, y, yerr2, mu0, var0, n_sweeps: int):
-        """ELBO after a fixed number of sweeps — reverse-differentiable
-        (lax.scan), the gradient path for optimizers/HMC."""
+    def _masked_sweeps(theta, t, y, yerr2, mu0, var0, n_sweeps):
+        """``n_sweeps`` coordinate-ascent sweeps with ``n_sweeps`` a
+        TRACED value: a ``lax.scan`` over ``MAX_SWEEPS`` counters whose
+        body is a ``lax.cond`` on ``i < n_sweeps``.  The predicate is
+        scalar (never batched — the counter and the shared sweep count),
+        so the skipped tail stays a true branch even under vmap and
+        costs one carry copy per iteration; callers can vary the sweep
+        count freely without recompiling (one compilation per model
+        structure instead of one per ``n_sweeps`` value)."""
         Kf, Kw_flat, L_all, y_c, y_raw, variance = _prepare(
             theta, t, y, yerr2)
         muF0, muW0 = _u_split(jnp.asarray(mu0).ravel())
         varF0, varW0 = _u_split(jnp.asarray(var0).ravel())
+        n = jnp.minimum(jnp.asarray(n_sweeps, jnp.int32), MAX_SWEEPS)
 
-        def step(carry, _):
-            muF, varF, muW, varW = carry
-            elbo, mu_f, varf, mu_w, varw = _sweep(
-                Kf, Kw_flat, L_all, y_c, y_raw, variance,
-                muF, varF, muW, varW)
-            return (mu_f, varf, mu_w, varw), elbo
+        def step(carry, i):
+            def do(c):
+                muF, varF, muW, varW, _ = c
+                elbo, mu_f, varf, mu_w, varw = _sweep(
+                    Kf, Kw_flat, L_all, y_c, y_raw, variance,
+                    muF, varF, muW, varW)
+                return (mu_f, varf, mu_w, varw, elbo)
 
-        (_, _, _, _), elbos = lax.scan(
-            step, (muF0, varF0, muW0, varW0), None, length=n_sweeps)
-        return elbos[-1]
+            carry = lax.cond(i < n, do, lambda c: c, carry)
+            return carry, None
 
-    def elbo_refine(theta, t, y, yerr2, mu0, var0, n_sweeps: int):
-        """``n_sweeps`` coordinate-ascent sweeps returning the full
-        state ``(elbo, mu, var)`` — the float64 polish stage of the
-        mixed-precision fit (bulk f32 sweeps converge the variational
-        state fast; a few f64 sweeps then land on the true-model fixed
-        point and evaluate the ELBO at reference fidelity)."""
+        init = (muF0, varF0, muW0, varW0, jnp.array(0.0, muF0.dtype))
+        (muF, varF, muW, varW, elbo), _ = lax.scan(
+            step, init, jnp.arange(MAX_SWEEPS, dtype=jnp.int32))
+        return elbo, muF, varF, muW, varW
+
+    def _static_sweeps(theta, t, y, yerr2, mu0, var0, n_sweeps: int):
+        """Fixed-length scan for sweep counts above ``MAX_SWEEPS``
+        (compiled per count — rare diagnostic use)."""
         Kf, Kw_flat, L_all, y_c, y_raw, variance = _prepare(
             theta, t, y, yerr2)
         muF0, muW0 = _u_split(jnp.asarray(mu0).ravel())
@@ -599,13 +617,49 @@ def make_engine(spec: GPRNSpec,
 
         (muF, varF, muW, varW), elbos = lax.scan(
             step, (muF0, varF0, muW0, varW0), None, length=n_sweeps)
-        mu = jnp.concatenate([muF.ravel(), muW.ravel()])
-        var = jnp.concatenate([varF.ravel(), varW.ravel()])
-        return elbos[-1], mu, var
+        return elbos[-1], muF, varF, muW, varW
 
-    def _value_and_grad(theta, t, y, yerr2, mu0, var0, n_sweeps: int):
-        return jax.value_and_grad(elbo_fixed)(theta, t, y, yerr2, mu0, var0,
-                                              n_sweeps)
+    def _mk_elbo_fixed(sweeps_fn):
+        def elbo_fixed(theta, t, y, yerr2, mu0, var0, n_sweeps):
+            elbo, *_ = sweeps_fn(theta, t, y, yerr2, mu0, var0, n_sweeps)
+            return elbo
+        return elbo_fixed
+
+    def _mk_elbo_refine(sweeps_fn):
+        def elbo_refine(theta, t, y, yerr2, mu0, var0, n_sweeps):
+            elbo, muF, varF, muW, varW = sweeps_fn(
+                theta, t, y, yerr2, mu0, var0, n_sweeps)
+            mu = jnp.concatenate([muF.ravel(), muW.ravel()])
+            var = jnp.concatenate([varF.ravel(), varW.ravel()])
+            return elbo, mu, var
+        return elbo_refine
+
+    def _dispatch(masked_fn, static_fn):
+        """Python-level dispatch on the sweep count: counts ≤
+        ``MAX_SWEEPS`` go to the masked-scan jit (n_sweeps traced —
+        ONE compilation for every count, the fix for the round-1
+        per-count recompiles); larger concrete counts fall back to a
+        per-count static scan (rare diagnostic use)."""
+        def call(theta, t, y, yerr2, mu0, var0, n_sweeps):
+            if isinstance(n_sweeps, (int, np.integer)) and \
+                    int(n_sweeps) > MAX_SWEEPS:
+                return static_fn(theta, t, y, yerr2, mu0, var0,
+                                 int(n_sweeps))
+            return masked_fn(theta, t, y, yerr2, mu0, var0, n_sweeps)
+        call.masked = masked_fn      # exposed for compile-count tests
+        call.static = static_fn
+        return call
+
+    _elbo_fixed_masked = _mk_elbo_fixed(_masked_sweeps)
+    _elbo_fixed_static = _mk_elbo_fixed(_static_sweeps)
+    _elbo_refine_masked = _mk_elbo_refine(_masked_sweeps)
+    _elbo_refine_static = _mk_elbo_refine(_static_sweeps)
+
+    def _vg(fn):
+        def _value_and_grad(theta, t, y, yerr2, mu0, var0, n_sweeps):
+            return jax.value_and_grad(fn)(theta, t, y, yerr2, mu0, var0,
+                                          n_sweeps)
+        return _value_and_grad
 
     # ---- posterior predictive (meanfield.py:1289-1379, _gp.py:107-138) ----
 
@@ -666,9 +720,14 @@ def make_engine(spec: GPRNSpec,
         spec=spec,
         init_mu_var=jit(init_mu_var),
         elbo_fit=jit(elbo_fit),
-        elbo_fixed=jit(elbo_fixed, static_argnums=(6,)),
-        elbo_value_and_grad=jit(_value_and_grad, static_argnums=(6,)),
-        elbo_refine=jit(elbo_refine, static_argnums=(6,)),
+        elbo_fixed=_dispatch(jit(_elbo_fixed_masked),
+                             jit(_elbo_fixed_static, static_argnums=(6,))),
+        elbo_value_and_grad=_dispatch(
+            jit(_vg(_elbo_fixed_masked)),
+            jit(_vg(_elbo_fixed_static), static_argnums=(6,))),
+        elbo_refine=_dispatch(jit(_elbo_refine_masked),
+                              jit(_elbo_refine_static,
+                                  static_argnums=(6,))),
         fit_state=jit(fit_state),
         predict=jit(predict),
         sweep_once=jit(sweep_once),
