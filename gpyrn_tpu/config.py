@@ -76,10 +76,26 @@ def ensure_compile_cache() -> None:
     _CACHE_SETUP_DONE = True
     if backend == "cpu":
         return
-    # scope by the primary platform so "tpu" and "tpu,cpu" share entries
+    # scope by the primary platform so "tpu" and "tpu,cpu" share entries,
+    # AND by the jax/jaxlib version: the runtime behind the remote-compile
+    # tunnel changes between sandbox images, and executables cached under
+    # an older libtpu CRASH the TPU worker when loaded by a newer one
+    # (measured: round-1-cached N=5000 programs reproducibly killed the
+    # worker, while fresh compiles of the same HLO ran fine)
+    import jax as _jax
+    try:
+        import jaxlib
+        ver = f"{_jax.__version__}-{jaxlib.__version__}"
+    except Exception:
+        ver = _jax.__version__
+    try:        # server-side runtime (libtpu) version, when exposed
+        pv = _jax.devices()[0].client.platform_version
+        ver += "-" + "".join(c if c.isalnum() else "_" for c in str(pv))[:40]
+    except Exception:
+        pass
     platform = os.environ.get("JAX_PLATFORMS", "") or backend
     cache_dir = os.path.join(cache_dir,
-                             platform.split(",")[0] or backend)
+                             f"{platform.split(',')[0] or backend}-{ver}")
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
