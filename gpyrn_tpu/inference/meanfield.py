@@ -671,14 +671,30 @@ class inference:
                 if np.isneginf(logprior(pw)):
                     p0[i] = prior_rvs()
 
+        # reference pre-run diagnostics (meanfield.py:1244-1250)
+        progress = kwargs.pop('progress', True)
+        if progress:
+            print('initial values for parameters are set')
+            _start = time_module.time()
+            _ = [logposterior(pw) for pw in p0]
+            _end = time_module.time()
+            print()
+            print(f'evaluation for initial values took '
+                  f'{_end - _start:.0f} sec')
+            print('- adjust your expectations accordingly')
+
         be = backends.HDFBackend(kwargs.pop('filename', 'gprn.h5'))
         be.reset(nwalkers, ndim)
         smplr = EnsembleSampler(nwalkers, ndim, logposterior, backend=be)
 
         old_tau = np.inf
-        for _ in smplr.sample(p0, iterations=niter, progress=False):
+        # progress bar + per-10-step log_prob print: reference
+        # meanfield.py:1264-1266
+        for sample in smplr.sample(p0, iterations=niter, progress=progress):
             if smplr.iteration % 10:
                 continue
+            if progress:
+                print(sample.log_prob.max())
             tau = smplr.get_autocorr_time(tol=0)
             converged = np.all(tau * 100 < smplr.iteration)
             converged &= np.all(np.abs(old_tau - tau) / tau < 0.01)

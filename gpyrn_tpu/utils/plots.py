@@ -120,6 +120,13 @@ def plot_prediction(gprn, nn: int = 1000, tstar=None, over: float = 0.2,
     ax0 = axs['pred1']
     for ax in axs.values():
         ax.sharex(ax0)
+    # hide intermediate x tick labels on the stacked panels so only the
+    # bottom row keeps them (reference _plots.py:120-127)
+    for i in range(gprn.p - 1):
+        for key in (f'pred{i + 1}', f'resid{i + 1}', f'd{i + 1}'):
+            plt.setp(axs[key].get_xticklabels(), visible=False)
+    if gprn.p > 1 and f'pred{gprn.p}' in axs:
+        plt.setp(axs[f'pred{gprn.p}'].get_xticklabels(), visible=False)
     for ax in axs.values():
         ax.axvspan(time[0], time[-1], color='k', alpha=0.05, zorder=-1)
     fig.tight_layout()
