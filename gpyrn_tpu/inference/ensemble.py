@@ -205,13 +205,13 @@ def _run_ensemble_device(gprn, priors, free_names, x0, mu0, var0, niter,
     S1, S2 = jnp.arange(half), jnp.arange(half, nwalkers)
 
     def step(carry, key):
-        x, lp, elbo, mu, var, n_acc = carry
+        x, lp, elbo, mu, var = carry
         k1, k2 = jax.random.split(key)
         x, lp, elbo, mu, var, a1 = half_step(k1, x, lp, elbo, mu, var,
                                              S1, S2)
         x, lp, elbo, mu, var, a2 = half_step(k2, x, lp, elbo, mu, var,
                                              S2, S1)
-        return (x, lp, elbo, mu, var, n_acc + a1 + a2), (x, lp, elbo)
+        return (x, lp, elbo, mu, var), (x, lp, elbo, a1 + a2)
 
     @jax.jit
     def segment(carry, key):
@@ -226,20 +226,22 @@ def _run_ensemble_device(gprn, priors, free_names, x0, mu0, var0, niter,
     upd = (conv & jnp.isfinite(lp))[:, None]
     mu = jnp.where(upd, mu_n, mu)
     var = jnp.where(upd, var_n, var)
-    carry = (x, lp, elbo, mu, var, jnp.asarray(0, jnp.int32))
+    carry = (x, lp, elbo, mu, var)
 
     key = jax.random.PRNGKey(seed)
     chain_parts, lp_parts, elbo_parts = [], [], []
+    n_accept = 0
     old_tau = np.inf
     converged = False
     steps_done = 0
     while steps_done < niter:
         key, sub = jax.random.split(key)
-        carry, (xs, lps, elbos) = segment(carry, sub)
+        carry, (xs, lps, elbos, accs) = segment(carry, sub)
         k = min(check_every, niter - steps_done)
         chain_parts.append(np.asarray(xs)[:k])
         lp_parts.append(np.asarray(lps)[:k])
         elbo_parts.append(np.asarray(elbos)[:k])
+        n_accept += int(np.asarray(accs)[:k].sum())
         steps_done += k
         if progress:
             print(f'step {steps_done}/{niter}  max logp='
@@ -248,7 +250,7 @@ def _run_ensemble_device(gprn, priors, free_names, x0, mu0, var0, niter,
         if checkpoint is not None and steps_done % 50 < check_every:
             EnsembleResult(chain, np.concatenate(lp_parts),
                            np.concatenate(elbo_parts), free_names, False,
-                           float(carry[5]) / (steps_done * nwalkers)
+                           n_accept / (steps_done * nwalkers)
                            ).save(checkpoint)
         if steps_done > check_every:
             tau = autocorr_time(chain)
@@ -262,7 +264,7 @@ def _run_ensemble_device(gprn, priors, free_names, x0, mu0, var0, niter,
     chain = np.concatenate(chain_parts)
     lp_hist = np.concatenate(lp_parts)
     elbo_hist = np.concatenate(elbo_parts)
-    acc = float(carry[5]) / (chain.shape[0] * nwalkers)
+    acc = n_accept / (chain.shape[0] * nwalkers)
     result = EnsembleResult(chain, lp_hist, elbo_hist, free_names,
                             converged, acc)
     if checkpoint is not None:

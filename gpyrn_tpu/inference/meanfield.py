@@ -14,6 +14,7 @@ by the native ensemble sampler.
 from __future__ import annotations
 
 from itertools import chain
+import os
 import time as time_module
 
 import numpy as np
@@ -441,7 +442,13 @@ class inference:
             # (K + D)⁻¹ update solves are f32-safe, so this converges to
             # the true-model fixed point — only the ELBO terms need f64
             f32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.float32)  # noqa: E731
-            mu32, var32, n_iter, converged = self.engine.fit_state(
+            # past ~N=6k the batched lattice of kernel matrices no
+            # longer fits one chip's HBM — use the lean fit (kernels
+            # rebuilt per GP per sweep, identical update map)
+            lean_after = int(os.environ.get("GPYRN_TPU_LEAN_N", "6000"))
+            fit = self.engine.fit_state_lean if self.N >= lean_after \
+                else self.engine.fit_state
+            mu32, var32, n_iter, converged = fit(
                 f32(theta), f32(t_arr), f32(self.y), f32(self.yerr2),
                 f32(mu0), f32(var0), max_iter, self.mixed_tol)
             if self._use_df64_refine():

@@ -170,6 +170,9 @@ class Engine(NamedTuple):
     fit_state: Callable        # (theta, t, y, yerr2, mu, var, max_iter,
     #                             tol) -> (mu, var, n_iter, converged)
     #                          updates-only fit, exact nugget, f32-safe
+    fit_state_lean: Callable   # same signature; kernels rebuilt per GP
+    #                          per sweep (peak ~3 N² buffers; the
+    #                          single-chip N≈20k path)
     predict: Callable          # (theta, t, y, yerr2, mu, var, tstar)
     #                          -> (means, vars, node_pred, weight_pred)
     sweep_once: Callable       # single ELBOaux step (for tests/inspection)
@@ -461,6 +464,114 @@ def make_engine(spec: GPRNSpec,
         dSw = dSw.reshape(q, p, N)
         return mu_f, dSf, mu_w, dSw.transpose(1, 0, 2)
 
+    def _gp_update_lean(structure, cp, t, d_add, pred):
+        """One GP's coordinate update with the kernel matrix REBUILT in
+        place (O(N²) — negligible next to the O(N³) solves) instead of
+        read from a stored lattice: peak memory is ~3 N² buffers
+        (K, A's Cholesky, one chunk temp) regardless of q·p, the
+        single-chip path to BASELINE config 5's N=20k
+        (vs the reference's dense lattice, meanfield.py:771,850)."""
+        K = kernel_matrix_plain(structure, cp, t, TRAIN_NUGGET)
+        idx = jnp.arange(N)
+        A = K.at[idx, idx].add(d_add)
+        L = jnp.linalg.cholesky(A)
+        Krhs = K @ pred
+        t1 = cho_solve((L, True), Krhs)
+        sig_rhs = Krhs - K @ t1
+
+        C = DIAG_CHUNK
+        n_chunks = (N + C - 1) // C
+        Npad = n_chunks * C
+        K_pad = jnp.pad(K, ((0, 0), (0, Npad - N)))
+
+        def chunk(carry, k):
+            cols = lax.dynamic_slice_in_dim(K_pad, k * C, C, axis=1)
+            S = lax.linalg.triangular_solve(L, cols, left_side=True,
+                                            lower=True)
+            return carry, jnp.sum(S * S, axis=0)
+
+        _, parts = lax.scan(chunk, 0, jnp.arange(n_chunks))
+        quad = parts.reshape(Npad)[:N]
+        dS = jnp.diagonal(K) - quad
+        return sig_rhs, dS
+
+    def _sweep_updates_lean(theta, t, y_c, variance, muF, varF, muW, varW):
+        """`_sweep_updates` with per-GP sequential processing and
+        in-sweep kernel rebuilds (see `_gp_update_lean`)."""
+        node_p, weight_p, _, _ = unpack_parameters(spec, theta)
+        node_c = _core(node_p, node_maps)
+        weight_c = _core(weight_p, weight_maps)
+
+        dv = jnp.sum((muW * muW + varW) / variance[:, None, :], axis=0)
+        total = jnp.einsum("pqn,qn->pn", muW, muF)
+        resid = (y_c[None, :, :] - total[None, :, :] +
+                 muW.transpose(1, 0, 2) * muF[:, None, :])
+        pred = jnp.einsum("qpn,pqn->qn", resid,
+                          muW / variance[:, None, :])
+        mu_f_rows, dSf_rows = [], []
+        for j in range(q):
+            m, dS = _gp_update_lean(spec.node_structs[j], node_c[j], t,
+                                    1.0 / dv[j], pred[j])
+            mu_f_rows.append(m)
+            dSf_rows.append(dS)
+        mu_f = jnp.stack(mu_f_rows)
+        dSf = jnp.stack(dSf_rows)
+
+        dv2 = mu_f * mu_f + dSf
+        total2 = jnp.einsum("pqn,qn->pn", muW, mu_f)
+        resid2 = (y_c[None, :, :] - total2[None, :, :] +
+                  muW.transpose(1, 0, 2) * mu_f[:, None, :])
+        pred2 = (resid2 * mu_f[:, None, :] /
+                 variance[None, :, :]).reshape(q * p, N)
+        ratio = (variance[None, :, :] /
+                 dv2[:, None, :]).reshape(q * p, N)
+        mu_w_rows, dSw_rows = [], []
+        for a in range(q * p):
+            m, dS = _gp_update_lean(spec.weight_structs[a], weight_c[a],
+                                    t, ratio[a], pred2[a])
+            mu_w_rows.append(m)
+            dSw_rows.append(dS)
+        mu_w = jnp.stack(mu_w_rows).reshape(q, p, N).transpose(1, 0, 2)
+        dSw = jnp.stack(dSw_rows).reshape(q, p, N)
+        return mu_f, dSf, mu_w, dSw.transpose(1, 0, 2)
+
+    def fit_state_lean(theta, t, y, yerr2, mu0, var0, max_iter, tol):
+        """Memory-lean `fit_state`: identical update map, but the
+        kernel lattice is never materialized — each GP's K is rebuilt
+        inside its update.  Single-chip path for N in the tens of
+        thousands (BASELINE config 5 upper end)."""
+        _, _, mean_p, jitters = unpack_parameters(spec, theta)
+        m = _mean_values(theta, t)
+        y_c = jnp.asarray(y) - m
+        variance = jitters[:, None] ** 2 + jnp.asarray(yerr2)
+        muF0, muW0 = _u_split(jnp.asarray(mu0).ravel())
+        varF0, varW0 = _u_split(jnp.asarray(var0).ravel())
+
+        def body(state):
+            muF, varF, muW, varW, _, it, done = state
+            mu_f, varf, mu_w, varw = _sweep_updates_lean(
+                theta, t, y_c, variance, muF, varF, muW, varW)
+            scale = 1.0 + jnp.maximum(jnp.max(jnp.abs(mu_f)),
+                                      jnp.max(jnp.abs(mu_w)))
+            delta = jnp.maximum(jnp.max(jnp.abs(mu_f - muF)),
+                                jnp.max(jnp.abs(mu_w - muW))) / scale
+            it = it + 1
+            done = delta < tol
+            return mu_f, varf, mu_w, varw, delta, it, done
+
+        def cond(state):
+            *_, it, done = state
+            return (~done) & (it < max_iter)
+
+        init = (muF0, varF0, muW0, varW0,
+                jnp.asarray(jnp.inf, muF0.dtype),
+                jnp.array(0, jnp.int32), jnp.array(False))
+        muF, varF, muW, varW, delta, it, done = lax.while_loop(
+            cond, body, init)
+        mu = jnp.concatenate([muF.ravel(), muW.ravel()])
+        var = jnp.concatenate([varF.ravel(), varW.ravel()])
+        return mu, var, it, done
+
     def fit_state(theta, t, y, yerr2, mu0, var0, max_iter, tol):
         """Iterate the updates-only sweep until the variational means
         stabilize: max |Δμ| / (1 + max |μ|) < tol.  Returns
@@ -729,6 +840,7 @@ def make_engine(spec: GPRNSpec,
                               jit(_elbo_refine_static,
                                   static_argnums=(6,))),
         fit_state=jit(fit_state),
+        fit_state_lean=jit(fit_state_lean),
         predict=jit(predict),
         sweep_once=jit(sweep_once),
     )
