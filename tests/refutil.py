@@ -36,3 +36,20 @@ def import_reference():
         warnings.simplefilter("ignore", SyntaxWarning)
         from gpyrn import covfunc, meanfunc, meanfield
     return covfunc, meanfunc, meanfield
+
+
+def ref_single_sweep(ref, nodes, weights, means, jitters, mu, var):
+    """One reference coordinate-ascent sweep (ELBOaux) from a given
+    variational state, with the same matrix prep as the reference's
+    ELBOcalc (meanfield.py:619-627).  Returns (elbo, mu, var)."""
+    j2 = np.array(jitters) ** 2
+    from gpyrn.meanfield import _cholNugget
+    Kf = np.array([ref._KMatrix(i, ref.time) for i in nodes])
+    Kw = np.array([ref._KMatrix(j, ref.time) for j in weights])
+    Lf = np.array([_cholNugget(j)[0] for j in Kf])
+    Lw = np.array([_cholNugget(j)[0] for j in Kw])
+    y = np.concatenate(ref.y) - ref._mean(means)
+    y = np.array(np.array_split(y, ref.p))
+    elbo, mu_n, var_n, _, _ = ref.ELBOaux(Kf, Kw, Lf, Lw, y, j2,
+                                          np.asarray(mu), np.asarray(var))
+    return float(elbo), np.asarray(mu_n).ravel(), np.asarray(var_n).ravel()

