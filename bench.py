@@ -188,10 +188,150 @@ def measure_baseline():
     return ms
 
 
+def _problem(N):
+    import gpyrn_tpu as g
+    t, data = _problem_data(N)
+    gprn = g.inference(1, t, *data)
+    gprn.set_components(
+        [g.covfunc.QuasiPeriodic(1.0, 30.0, 20.0, 0.7)],
+        [g.covfunc.SquaredExponential(1.0 + 0.05 * k, 30.0)
+         for k in range(3)],
+        [None] * 3, [0.1] * 3)
+    return gprn
+
+
+def _chunked_fit(gprn, N, tol=1e-4, chunk=500, max_chunks=8):
+    """f32 updates-only fit in host-driven chunks (the axon service
+    kills single device calls running longer than ~1-2 min)."""
+    import jax
+    import jax.numpy as jnp
+    eng = gprn.engine
+    theta = gprn._theta()
+    tt = np.asarray(gprn.time, dtype=float)
+    f32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.float32)  # noqa
+    args = (f32(theta), f32(tt), f32(gprn.y), f32(gprn.yerr2))
+    fit = eng.fit_state_lean if N >= 6000 else eng.fit_state
+    mu, var = eng.init_mu_var(args[0], args[2])
+    # compile outside the timed region
+    out = fit(*args, mu, var, 1, np.float32(tol))
+    jax.block_until_ready(out[0])
+    t0 = time.perf_counter()
+    total_it = 0
+    for _ in range(max_chunks):
+        mu, var, it, conv = fit(*args, mu, var, chunk, np.float32(tol))
+        jax.block_until_ready(mu)
+        total_it += int(it)
+        if bool(conv):
+            break
+    wall = time.perf_counter() - t0
+    return np.asarray(mu), np.asarray(var), total_it, wall
+
+
+def measure_north_star():
+    """BASELINE north star: N=5000, 3-output QP GPRN — mixed-precision
+    exact pipeline (f32 fit + on-chip df64 refine) wall-clock vs the
+    measured reference per-sweep cost, plus a 1e-6-level parity check
+    of the SAME pipeline at N=1000 against a float64 CPU oracle run in
+    a subprocess from the same state."""
+    if os.environ.get("GPYRN_BENCH_NS", "1") == "0":
+        return {}
+    out = {}
+    try:
+        from gpyrn_tpu.models.exact_blocked import refine_exact
+        # -- parity at N=1000: df64 refine vs f64 CPU refine, same state --
+        g1 = _problem(1000)
+        mu32, var32, it1, fw1 = _chunked_fit(g1, 1000, max_chunks=4)
+        t0 = time.perf_counter()
+        e_df, _, _ = refine_exact(g1, np.float64(1.0) * mu32,
+                                  np.float64(1.0) * var32, n_sweeps=3)
+        refine1_wall = time.perf_counter() - t0
+        state_file = os.path.join(HERE, ".bench_state_n1000.npz")
+        np.savez(state_file, mu=mu32, var=var32)
+        e64 = _f64_refine_subprocess(1000, state_file)
+        if e64 is not None:
+            out["parity_N1000_rel_err"] = abs(e_df - e64) / abs(e64)
+            out["parity_N1000_elbo_df64"] = e_df
+            out["parity_N1000_elbo_f64"] = e64
+        out["mixed_N1000_fit_s"] = round(fw1, 2)
+        out["mixed_N1000_refine_s"] = round(refine1_wall, 2)
+
+        # -- N=5000 wall-clock: the same work quantum as the reference
+        #    measurement (30 coordinate-ascent sweeps) + the on-chip
+        #    df64 exact ELBO evaluation --
+        g5 = _problem(5000)
+        mu32, var32, it5, fw5 = _chunked_fit(g5, 5000, tol=1e-12,
+                                             chunk=30, max_chunks=1)
+        e_a, _, _ = refine_exact(g5, np.float64(1.0) * mu32,
+                                 np.float64(1.0) * var32, n_sweeps=3)
+        t0 = time.perf_counter()
+        e_b, _, _ = refine_exact(g5, np.float64(1.0) * mu32,
+                                 np.float64(1.0) * var32, n_sweeps=3)
+        refine5_wall = time.perf_counter() - t0
+        # stationarity self-check: a 4th sweep should barely move it
+        e_c, _, _ = refine_exact(g5, np.float64(1.0) * mu32,
+                                 np.float64(1.0) * var32, n_sweeps=4)
+        total = fw5 + refine5_wall
+        out["ns5000_fit_s"] = round(fw5, 2)
+        out["ns5000_fit_iters"] = it5
+        out["ns5000_refine_s"] = round(refine5_wall, 2)
+        out["ns5000_total_s"] = round(total, 2)
+        out["ns5000_elbo"] = e_b
+        out["ns5000_stationarity_rel"] = abs(e_c - e_b) / abs(e_b)
+        ref_file = os.path.join(HERE, ".bench", "ref_n5000.json")
+        if os.path.exists(ref_file):
+            with open(ref_file) as f:
+                ref = json.loads(f.read().strip().splitlines()[-1])
+            ref_30sweep_s = ref["wall"] / max(ref["iters"], 1) * 30
+            out["ns5000_ref_30sweep_s"] = round(ref_30sweep_s, 1)
+            out["ns5000_vs_baseline"] = round(ref_30sweep_s / total, 1)
+    except Exception as e:      # noqa: BLE001 — bench must always emit
+        out["ns_error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
+_F64_REFINE_SNIPPET = r"""
+import json, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+sys.path.insert(0, %(here)r)
+import gpyrn_tpu as g
+import bench
+z = np.load(sys.argv[1])
+gprn = bench._problem(int(sys.argv[2]))
+eng = gprn.engine
+theta = gprn._theta()
+t = np.asarray(gprn.time, dtype=float)
+e, _, _ = eng.elbo_refine(theta, t, gprn.y, gprn.yerr2,
+                          np.float64(z["mu"]), np.float64(z["var"]), 3)
+print(json.dumps({"elbo": float(e)}))
+"""
+
+
+def _f64_refine_subprocess(N, state_file):
+    """Float64 CPU oracle: elbo_refine from the saved state, in a
+    subprocess pinned off the TPU (PYTHONPATH cleared to drop the
+    sandbox sitecustomize that re-pins the axon platform)."""
+    import subprocess
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu",
+               GPYRN_TPU_X64="1")
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _F64_REFINE_SNIPPET % {"here": HERE},
+             state_file, str(N)],
+            capture_output=True, text=True, timeout=1200, check=True,
+            env=env)
+        return json.loads(out.stdout.strip().splitlines()[-1])["elbo"]
+    except Exception:
+        return None
+
+
 def main():
     ours_ms, elbo, ok, ips = measure_ours()
     f64_ms, f64_elbo = measure_f64_parity()
     base_ms = measure_baseline()
+    ns = measure_north_star()
     vs = (base_ms / ours_ms) if (base_ms and ok) else float("nan")
     base_ips = (N_SWEEPS / (base_ms / 1e3)) if base_ms else None
     out = {
@@ -211,6 +351,7 @@ def main():
         out["f64_elbo"] = f64_elbo
         out["f64_vs_baseline"] = round(base_ms / f64_ms, 2) if base_ms \
             else None
+    out.update(ns)
     print(json.dumps(out))
 
 

@@ -134,6 +134,40 @@ def _factors(L: DF, Linvs: DF, n: int, block: int) -> CholFactors:
     return CholFactors(L=L, Linvs=Linvs, n=n, block=block)
 
 
+def _lid_colnorms(L: DF, B_mat: DF, n: int, chunk: int = 512) -> DF:
+    """Column norms² of (Lᵀ − B) per batch element, column-chunked:
+    returns DF (b, n).  L may be padded (slices to n×n); B is (b,n,n)."""
+    import jax.numpy as _jnp
+    from jax import lax as _lax
+    b = B_mat.hi.shape[0]
+    n_chunks = -(-n // min(chunk, n))
+    C = -(-n // n_chunks)       # minimal padding (zero when C | n)
+    Np = n_chunks * C
+    padL = ((0, 0), (0, max(0, Np - L.hi.shape[1])),
+            (0, max(0, Np - L.hi.shape[2])))
+    Lh = _jnp.pad(L.hi, padL)[:, :Np, :Np]
+    Ll = _jnp.pad(L.lo, padL)[:, :Np, :Np]
+    padB = ((0, 0), (0, Np - n), (0, Np - n))
+    Bh = _jnp.pad(B_mat.hi, padB)
+    Bl = _jnp.pad(B_mat.lo, padB)
+
+    def chunk_fn(carry, k):
+        j0 = k * C
+        # col j of (Lᵀ − B) = L[j, :]ᵀ − B[:, j]
+        Lrows = DF(_lax.dynamic_slice(Lh, (0, j0, 0), (b, C, Np)),
+                   _lax.dynamic_slice(Ll, (0, j0, 0), (b, C, Np)))
+        Bcols = DF(_lax.dynamic_slice(Bh, (0, 0, j0), (b, Np, C)),
+                   _lax.dynamic_slice(Bl, (0, 0, j0), (b, Np, C)))
+        M = df_sub(DF(_jnp.swapaxes(Lrows.hi, 1, 2),
+                      _jnp.swapaxes(Lrows.lo, 1, 2)), Bcols)
+        return carry, df_sum(df_mul(M, M), axis=-2)   # DF (b, C)
+
+    _, parts = _lax.scan(chunk_fn, 0, _jnp.arange(n_chunks))
+    out = DF(_jnp.moveaxis(parts.hi, 0, 1).reshape(b, Np),
+             _jnp.moveaxis(parts.lo, 0, 1).reshape(b, Np))
+    return DF(out.hi[:, :n], out.lo[:, :n])
+
+
 def _factor_slice(F: CholFactors, k) -> CholFactors:
     """Single-matrix view of a batched CholFactors (batch element k)."""
     return CholFactors(
@@ -149,11 +183,11 @@ class ExactEngine(NamedTuple):
     :func:`make_exact_engine`); drive them with :func:`refine_exact` or
     the ``refine`` convenience method."""
     spec: object
-    prepare: object    # (theta, t) -> (Kf, Kw, FK_L, FK_Linvs, logdetK,
-    #                                   Linv_nodes)
-    sweep: object      # (Kf, Kw, FK stuff, y_c, variance, state...) ->
-    #                  (new state, aux)
-    terms: object      # (... aux ...) -> elbo DF scalar
+    prepare: object      # (theta, t) -> (Kf, Kw, FK_L, FK_Linvs,
+    #                                     logdetK, Linv_nodes)
+    sweep_node: object   # node half-sweep (separate jit: program
+    sweep_weight: object  # buffer plans stay small at large N)
+    terms: object        # (... aux ...) -> elbo DF scalar
     block: int
 
     def refine(self, theta, t, y_c, y_raw, variance, mu0, var0,
@@ -161,21 +195,29 @@ class ExactEngine(NamedTuple):
         """Run ``n_sweeps`` df64 sweeps from (mu0, var0) and evaluate
         the reference-convention ELBO at the final state.  All args are
         DF pairs; returns (elbo DF scalar, mu DF, var DF)."""
-        prep = self.prepare(theta, t)
-        state, aux = None, None
+        Kf, Kw, *prep_tail = self.prepare(theta, t)
         q, p, N = self.spec.q, self.spec.p, self.spec.N
         muF = _reshape(DF(mu0.hi[:q * N], mu0.lo[:q * N]), (q, N))
         muW = _reshape(DF(mu0.hi[q * N:], mu0.lo[q * N:]), (p, q, N))
         varF = _reshape(DF(var0.hi[:q * N], var0.lo[:q * N]), (q, N))
         varW = _reshape(DF(var0.hi[q * N:], var0.lo[q * N:]), (p, q, N))
-        state = (muF, varF, muW, varW)
+        node_aux = weight_aux = None
         for _ in range(max(1, int(n_sweeps))):
-            state, aux = self.sweep(prep[0], prep[1], y_c, variance,
-                                    *state)
-        elbo = self.terms(prep, y_raw, variance, state, aux)
-        mu_f, dSf, mu_w, varW_new = state
+            (mu_f, dSf, Af_L, Af_Li, ldA_f, cn_f,
+             dv, inv_dv) = self.sweep_node(
+                Kf, y_c, variance, muF, varF, muW, varW)
+            mu_w, dSw_qp, ldA_w, cn_w, ratio = self.sweep_weight(
+                Kw, y_c, variance, muW, mu_f, dSf)
+            muF, varF = mu_f, dSf
+            muW, varW = mu_w, _t(dSw_qp, (1, 0, 2))
+            node_aux = (Af_L, Af_Li, ldA_f, cn_f, dv, inv_dv)
+            weight_aux = (ldA_w, cn_w, ratio, dSw_qp)
+        del Kf, Kw       # free the kernel lattice before the terms stage
+        aux = node_aux + weight_aux + (dSf,)
+        elbo = self.terms(tuple(prep_tail), y_raw, variance,
+                          (mu_f, mu_w), aux)
         mu = _concat([_reshape(mu_f, (-1,)), _reshape(mu_w, (-1,))])
-        var = _concat([_reshape(dSf, (-1,)), _reshape(varW_new, (-1,))])
+        var = _concat([_reshape(dSf, (-1,)), _reshape(varW, (-1,))])
         return elbo, mu, var
 
 
@@ -262,10 +304,11 @@ def make_exact_engine(spec, block: int = DEFAULT_BLOCK) -> ExactEngine:
         dS = df_sub(_diag_part(K), quad)
         return mu, dS
 
-    def sweep(Kf, Kw, y_c, variance, muF, varF, muW, varW):
-        """One coordinate-ascent sweep (engine ``_sweep_updates`` in
-        df64).  Returns the new state plus this sweep's A-factors and
-        diagonals for the ELBO terms."""
+    def sweep_node(Kf, y_c, variance, muF, varF, muW, varW):
+        """Node half of a coordinate-ascent sweep (engine
+        ``_sweep_updates`` in df64).  A separate jit from the weight
+        half so each program's static buffer plan stays small —
+        the fused sweep RESOURCE_EXHAUSTED the chip at N=5000."""
         var_b = _expand(variance, 1)                         # (p,1,N)
         dv = df_sum(df_div(df_add(df_mul(muW, muW), varW), var_b),
                     axis=0)                                  # (q,N)
@@ -281,43 +324,63 @@ def make_exact_engine(spec, block: int = DEFAULT_BLOCK) -> ExactEngine:
         mw_v = _t(df_div(muW, var_b), (1, 0, 2))             # (q,p,N)
         pred = df_sum(df_mul(resid, mw_v), axis=1)           # (q,N)
         mu_f, dSf = _apply_sigma(F_Af, Kf, Bf, pred)
+        # reduce the factors to what the terms stage needs (logdet +
+        # trace column-norms) so the N×N solve product is freed here;
+        # the factors themselves are kept only for q>1 cross-traces
+        ldA_f = df_logdet_blocked(F_Af)                      # (q,)
+        cn_f = _lid_colnorms(F_Af.L, Bf, N)                  # (q,N)
+        return mu_f, dSf, F_Af.L, F_Af.Linvs, ldA_f, cn_f, dv, inv_dv
 
+    def sweep_weight(Kw, y_c, variance, muW, mu_f, dSf):
+        """Weight half of a sweep (uses the fresh mu_f, dSf).  The
+        q·p weight GPs are processed ONE at a time — same shapes, so
+        XLA reuses the factorization workspace across them and the
+        program's peak stays ~independent of the lattice size."""
         dv2 = df_add(df_mul(mu_f, mu_f), dSf)                # (q,N)
         ratio = _reshape(df_div(_expand(variance, 0),
                                 _expand(dv2, 1)), (qp, N))   # (q·p,N)
-        F_Aw = df_cholesky_blocked(_add_diag(Kw, ratio), block)
-        Bw = df_tri_solve_blocked(F_Aw, Kw)                  # (qp,N,N)
-
         muf_b = _expand(mu_f, 0)                             # (1,q,N)
+        muW_t = _t(muW, (1, 0, 2))                           # (q,p,N)
         total2 = df_sum(df_mul(muW, muf_b), axis=1)          # (p,N)
         resid2 = df_add(df_sub(_expand(y_c, 0), _expand(total2, 0)),
                         df_mul(muW_t, _expand(mu_f, 1)))     # (q,p,N)
         pred2 = _reshape(df_div(df_mul(resid2, _expand(mu_f, 1)),
                                 _expand(variance, 0)), (qp, N))
-        mu_w_flat, dSw = _apply_sigma(F_Aw, Kw, Bw, pred2)
+
+        mus, dSs, lds, cns = [], [], [], []
+        for a in range(qp):
+            Kw_a = DF(Kw.hi[a:a + 1], Kw.lo[a:a + 1])
+            r_a = DF(ratio.hi[a:a + 1], ratio.lo[a:a + 1])
+            F_a = df_cholesky_blocked(_add_diag(Kw_a, r_a), block)
+            B_a = df_tri_solve_blocked(F_a, Kw_a)            # (1,N,N)
+            p_a = DF(pred2.hi[a:a + 1], pred2.lo[a:a + 1])
+            m_a, dS_a = _apply_sigma(F_a, Kw_a, B_a, p_a)
+            mus.append(m_a)
+            dSs.append(dS_a)
+            # reduce factor+solve to the terms-stage scalars/vectors so
+            # no N×N array survives this GP's iteration
+            lds.append(df_logdet_blocked(F_a))
+            cns.append(_lid_colnorms(F_a.L, B_a, N))
+        mu_w_flat = _concat(mus)
+        dSw = _concat(dSs)
+        ldA_w = _concat(lds)                                 # (qp,)
+        cn_w = _concat(cns)                                  # (qp,N)
         mu_w = _t(_reshape(mu_w_flat, (q, p, N)), (1, 0, 2))  # (p,q,N)
         dSw_qp = _reshape(dSw, (q, p, N))
-
-        new_state = (mu_f, dSf, mu_w, _t(dSw_qp, (1, 0, 2)))
-        aux = (F_Af.L, F_Af.Linvs, F_Aw.L, F_Aw.Linvs,
-               Bf, Bw, dv, inv_dv, ratio, dSf, dSw_qp)
-        return new_state, aux
+        return mu_w, dSw_qp, ldA_w, cn_w, ratio
 
     def terms(prep, y_raw, variance, state, aux):
         """Reference-convention ELBO at the post-sweep state (engine
         ``_sweep``'s entropy / log-prior / log-likelihood,
         meanfield.py:895-1093) via determinant/trace identities."""
-        Kf, Kw, FK_L, FK_Linvs, logdetK, Linv_nodes = prep
-        mu_f, dSf_s, mu_w, _ = state
-        (Af_L, Af_Li, Aw_L, Aw_Li, Bf, Bw,
-         dv, inv_dv, ratio, dSf, dSw_qp) = aux
+        FK_L, FK_Linvs, logdetK, Linv_nodes = prep
+        mu_f, mu_w = state
+        (Af_L, Af_Li, ldA_f, cn_f, dv, inv_dv,
+         ldA_w, cn_w, ratio, dSw_qp, dSf) = aux
         F_K = _factors(FK_L, FK_Linvs, N, B)
         F_Af = _factors(Af_L, Af_Li, N, B)
-        F_Aw = _factors(Aw_L, Aw_Li, N, B)
 
-        # log det A via the factor diagonals; log det D elementwise
-        ldA_f = df_logdet_blocked(F_Af)                      # (q,)
-        ldA_w = df_logdet_blocked(F_Aw)                      # (qp,)
+        # log det D elementwise (log det A arrived from the sweeps)
         ldD_f = df_sum(df_log(dv), axis=-1)                  # (q,)
         # D_w = diag(1/ratio) ⇒ log det D_w = −Σ log ratio
         ldD_w = df_neg(df_sum(df_log(ratio), axis=-1))       # (qp,)
@@ -342,13 +405,10 @@ def make_exact_engine(spec, block: int = DEFAULT_BLOCK) -> ExactEngine:
         muKmu = df_sum(df_mul(w, w), axis=-1)                # (b_all,)
 
         # same-index traces tr(K⁻¹Σ) = tr(A⁻¹D⁻¹) = Σ_j d_j·‖(L_Aᵀ−B)_:j‖²
-        # (exact identity L_A⁻¹D⁻¹ = L_Aᵀ − B; no extra solves needed)
-        LiD_f = df_sub(_mT(DF(Af_L.hi[:, :N, :N], Af_L.lo[:, :N, :N])), Bf)
-        tr_f_same = df_sum(df_mul(df_sum(df_mul(LiD_f, LiD_f), axis=-2),
-                                  dv), axis=-1)              # (q,)
-        LiD_w = df_sub(_mT(DF(Aw_L.hi[:, :N, :N], Aw_L.lo[:, :N, :N])), Bw)
-        tr_w = df_sum(df_mul(df_sum(df_mul(LiD_w, LiD_w), axis=-2),
-                             _recip(ratio)), axis=-1)        # (qp,)
+        # (exact identity L_A⁻¹D⁻¹ = L_Aᵀ − B); the column norms were
+        # computed inside the sweeps while L and B were live
+        tr_f_same = df_sum(df_mul(cn_f, dv), axis=-1)        # (q,)
+        tr_w = df_sum(df_mul(cn_w, _recip(ratio)), axis=-1)  # (qp,)
 
         # cumulative-sumSigmaF quirk (meanfield.py:1039): node j's trace
         # adds tr(K_j⁻¹ Σ_k) for k < j, via the Woodbury cross-trace
@@ -404,7 +464,8 @@ def make_exact_engine(spec, block: int = DEFAULT_BLOCK) -> ExactEngine:
 
     return ExactEngine(spec=spec,
                        prepare=jax.jit(prepare),
-                       sweep=jax.jit(sweep),
+                       sweep_node=jax.jit(sweep_node),
+                       sweep_weight=jax.jit(sweep_weight),
                        terms=jax.jit(terms),
                        block=block)
 

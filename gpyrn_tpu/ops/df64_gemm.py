@@ -111,6 +111,47 @@ def _accumulate(prods, shape, dtype=jnp.float32):
     return acc
 
 
+# Outputs at or above this element count accumulate their slice-pair
+# products through a lax.scan instead of an unrolled matmul list: the
+# unrolled form lets the scheduler keep many full-size f32 products
+# live at once (53 × (b,N,N) — RESOURCE_EXHAUSTED on a 16 GB chip at
+# N=5000, b=3), while the scan bounds liveness to the df64 accumulator
+# plus ONE product.  Small outputs keep the unrolled form (better MXU
+# pipelining; their liveness is irrelevant).
+SCAN_ACCUM_MIN_ELEMS = 1 << 25
+
+
+def _pair_index_list(n, max_sig):
+    pairs = []
+    for g in range(min(max_sig, 2 * (n - 1)) + 1):
+        for i in range(max(0, g - (n - 1)), min(n - 1, g) + 1):
+            pairs.append((i, g - i))
+    return pairs
+
+
+def _matmul_scan(sa, sb, max_sig, acc0=None):
+    """Scan-accumulated slice-pair matmuls (most-significant first)."""
+    SA = jnp.stack(sa)                       # (n_slices, ..., M, K) bf16
+    SB = jnp.stack(sb)
+    pairs = jnp.asarray(_pair_index_list(len(sa), max_sig),
+                        dtype=jnp.int32)
+
+    def body(acc, ij):
+        a = lax.dynamic_index_in_dim(SA, ij[0], keepdims=False)
+        b = lax.dynamic_index_in_dim(SB, ij[1], keepdims=False)
+        p = jnp.matmul(a, b, preferred_element_type=jnp.float32)
+        return df_add(acc, DF(p, jnp.zeros_like(p))), None
+
+    if acc0 is None:
+        probe = jnp.matmul(sa[0][..., :1, :], sb[0][..., :, :1],
+                           preferred_element_type=jnp.float32)
+        shape = probe.shape[:-2] + (sa[0].shape[-2], sb[0].shape[-1])
+        acc0 = DF(jnp.zeros(shape, jnp.float32),
+                  jnp.zeros(shape, jnp.float32))
+    acc, _ = lax.scan(body, acc0, pairs)
+    return acc
+
+
 def df64_matmul(A: DF, B: DF, max_sig: int = MAX_SIG) -> DF:
     """C = A @ B with ~double-single accuracy, FLOPs on the MXU.
 
@@ -128,12 +169,20 @@ def df64_matmul(A: DF, B: DF, max_sig: int = MAX_SIG) -> DF:
     As = DF(A.hi * isA, A.lo * isA)
     Bs = DF(B.hi * isB, B.lo * isB)
 
+    out_elems = A.hi.shape[-2] * B.hi.shape[-1]
+    for d in jnp.broadcast_shapes(A.hi.shape[:-2], B.hi.shape[:-2]):
+        out_elems *= d
+    big_out = out_elems >= SCAN_ACCUM_MIN_ELEMS
+
     if K <= K_CHUNK:
         sa = _slices(As)
         sb = _slices(Bs)
-        prods = _pair_products(sa, sb, max_sig)
-        out_shape = prods[0].shape
-        acc = _accumulate(prods, out_shape)
+        if big_out:
+            acc = _matmul_scan(sa, sb, max_sig)
+        else:
+            prods = _pair_products(sa, sb, max_sig)
+            out_shape = prods[0].shape
+            acc = _accumulate(prods, out_shape)
     else:
         # pad K to a chunk multiple (zero columns/rows contribute 0
         # exactly) and scan over chunks, df64-accumulating partials
@@ -161,6 +210,8 @@ def df64_matmul(A: DF, B: DF, max_sig: int = MAX_SIG) -> DF:
             ah, al, bh, bl = xs
             sa = _slices(DF(ah, al))
             sb = _slices(DF(bh, bl))
+            if big_out:
+                return _matmul_scan(sa, sb, max_sig, acc0=acc), None
             prods = _pair_products(sa, sb, max_sig)
             for p in prods:
                 acc = df_add(acc, DF(p, jnp.zeros_like(p)))
