@@ -60,7 +60,8 @@ def run_hmc(gprn, priors: Dict, n_samples: int = 500, n_warmup: int = 100,
             n_chains: int = 4, n_leapfrog: int = 8, n_sweeps: int = 15,
             target_accept: float = 0.8, initial_step: float = 0.02,
             seed: int = 0, p0=None, checkpoint=None,
-            mass_matrix: str = "diag", chunk: int = 50):
+            mass_matrix: str = "diag", chunk: int = 50,
+            algorithm: str = "hmc", max_depth: int = 8):
     """Sample the hyperparameter posterior (ELBO surrogate likelihood)
     with vmapped HMC — chains fully on device.
 
@@ -80,6 +81,9 @@ def run_hmc(gprn, priors: Dict, n_samples: int = 500, n_warmup: int = 100,
             half of warmup phase 1 (M⁻¹ = var(z)); "identity" keeps the
             round-1 behavior.
         chunk: sampling steps per device call (checkpoint cadence).
+        algorithm: "hmc" (fixed n_leapfrog trajectories) or "nuts"
+            (multinomial no-U-turn trajectories, iterative tree
+            building up to ``max_depth`` doublings).
     """
     gprn._require_components()
     all_names = np.array(list(gprn.parameters_dict.keys()))
@@ -153,7 +157,163 @@ def run_hmc(gprn, priors: Dict, n_samples: int = 500, n_warmup: int = 100,
         lp = jnp.where(accept, lp_new, lp)
         return z, lp, jnp.minimum(jnp.exp(log_accept), 1.0)
 
-    vstep = jax.vmap(hmc_step, in_axes=(0, 0, 0, None, None))
+    # ---- NUTS (multinomial, iterative tree building) ---------------------
+    # Progressive multinomial sampling over a dynamically-doubled
+    # trajectory (Hoffman & Gelman 2014; multinomial variant of
+    # Betancourt 2017), built ITERATIVELY: the recursive U-turn checks
+    # become checks against a depth-indexed checkpoint stack — even leaf
+    # n is stored at slot popcount(n), odd leaf n checks slots
+    # [popcount(n)-ctz(n+1) .. popcount(n)-1] — so the whole transition
+    # is two nested lax.while_loops whose bodies contain ONE leapfrog
+    # (compile stays small; everything runs on device, vmapped over
+    # chains).
+
+    def _popcount(n):
+        n = n - ((n >> 1) & 0x55555555)
+        n = (n & 0x33333333) + ((n >> 2) & 0x33333333)
+        return (((n + (n >> 4)) & 0x0F0F0F0F) * 0x01010101) >> 24
+
+    def _ctz(n):
+        return _popcount((n & -n) - 1)
+
+    def _turning(dz, r_a, r_b, m_inv):
+        return (jnp.dot(dz, m_inv * r_a) < 0) | \
+            (jnp.dot(dz, m_inv * r_b) < 0)
+
+    def _leapfrog1(z, r, g, eps, m_inv):
+        """One leapfrog step reusing the cached gradient at z."""
+        r = r + 0.5 * eps * g
+        z = z + eps * m_inv * r
+        lp, g = val_and_grad(z)
+        r = r + 0.5 * eps * g
+        return z, r, lp, g
+
+    def _build_subtree(key, z0, r0, g0, direction, depth, energy0, eps,
+                       m_inv, max_depth):
+        """2^depth leapfrog steps from (z0, r0); returns the subtree's
+        far edge, multinomial proposal, total log-weight, turning /
+        divergence flags and the acceptance-statistic sums."""
+        n_leaf = jnp.asarray(1, jnp.int32) << depth
+        ndim_ = z0.shape[0]
+        ck_z = jnp.zeros((max_depth + 1, ndim_), z0.dtype)
+        ck_r = jnp.zeros((max_depth + 1, ndim_), z0.dtype)
+
+        def cond(s):
+            i, turning, diverging = s[0], s[-2], s[-1]
+            return (i < n_leaf) & (~turning) & (~diverging)
+
+        def body(s):
+            (i, key, z, r, g, zp, lpp, logw, ck_z, ck_r, s_a, n_a,
+             turning, diverging) = s
+            key, ka = jax.random.split(key)
+            z, r, lp, g = _leapfrog1(z, r, g, direction * eps, m_inv)
+            energy = -lp + kinetic(r, m_inv)
+            denergy = energy - energy0
+            diverging = ~jnp.isfinite(denergy) | (denergy > 1000.0)
+            w = jnp.where(diverging, -jnp.inf, -denergy)
+            # progressive multinomial proposal within the subtree
+            logw_new = jnp.logaddexp(logw, w)
+            take = jnp.log(jax.random.uniform(ka)) < (w - logw_new)
+            zp = jnp.where(take, z, zp)
+            lpp = jnp.where(take, lp, lpp)
+            # acceptance statistic (per-leaf Metropolis ratio)
+            s_a = s_a + jnp.minimum(1.0, jnp.exp(-denergy))
+            n_a = n_a + 1.0
+            # checkpointed U-turn checks within the subtree
+            even = (i % 2) == 0
+            slot = _popcount(i)
+            ck_z = jnp.where(even, ck_z.at[slot].set(z), ck_z)
+            ck_r = jnp.where(even, ck_r.at[slot].set(r), ck_r)
+            hi_s = _popcount(i) - 1
+            lo_s = hi_s - _ctz(i + 1) + 1
+
+            def chk(k, t):
+                inside = (k >= lo_s) & (k <= hi_s)
+                turn_k = _turning(z - ck_z[k], ck_r[k], r, m_inv)
+                return t | (inside & turn_k)
+
+            turn_now = jax.lax.fori_loop(0, max_depth + 1, chk,
+                                         jnp.asarray(False))
+            turning = jnp.where(even, turning, turning | turn_now)
+            return (i + 1, key, z, r, g, zp, lpp, logw, ck_z, ck_r,
+                    s_a, n_a, turning, diverging)
+
+        init = (jnp.asarray(0, jnp.int32), key, z0, r0, g0, z0,
+                jnp.asarray(-jnp.inf, z0.dtype),
+                jnp.asarray(-jnp.inf, z0.dtype), ck_z, ck_r,
+                jnp.asarray(0.0, z0.dtype), jnp.asarray(0.0, z0.dtype),
+                jnp.asarray(False), jnp.asarray(False))
+        (_, _, z_e, r_e, g_e, zp, lpp, logw, _, _, s_a, n_a,
+         turning, diverging) = jax.lax.while_loop(cond, body, init)
+        return z_e, r_e, g_e, zp, lpp, logw, turning, diverging, s_a, n_a
+
+    def nuts_step(rng, z, lp, eps, m_inv, max_depth=8):
+        k_mom, k_tree = jax.random.split(rng)
+        r0 = jax.random.normal(k_mom, z.shape, dtype=z.dtype) / \
+            jnp.sqrt(m_inv)
+        lp0 = jnp.where(jnp.isfinite(lp), lp, -jnp.inf)
+        energy0 = -lp0 + kinetic(r0, m_inv)
+        _, g0 = val_and_grad(z)
+
+        def cond(s):
+            depth, turning, diverging = s[0], s[-3], s[-2]
+            return (depth < max_depth) & (~turning) & (~diverging)
+
+        def body(s):
+            (depth, key, z_l, r_l, g_l, z_r, r_r, g_r, zp, lpp, logw,
+             s_a, n_a, turning, diverging, _) = s
+            key, kd, ks, kb = jax.random.split(key, 4)
+            go_right = jax.random.bernoulli(kd)
+            z0 = jnp.where(go_right, z_r, z_l)
+            r0_ = jnp.where(go_right, r_r, r_l)
+            g0_ = jnp.where(go_right, g_r, g_l)
+            direction = jnp.where(go_right, 1.0, -1.0)
+            (z_e, r_e, g_e, zp_s, lpp_s, logw_s, turn_s, div_s,
+             sa_s, na_s) = _build_subtree(ks, z0, r0_, g0_, direction,
+                                          depth, energy0, eps, m_inv,
+                                          max_depth)
+            s_a, n_a = s_a + sa_s, n_a + na_s
+            ok = (~turn_s) & (~div_s)
+            # biased progressive sampling across the doubling
+            take = ok & (jnp.log(jax.random.uniform(kb)) <
+                         (logw_s - logw))
+            zp = jnp.where(take, zp_s, zp)
+            lpp = jnp.where(take, lpp_s, lpp)
+            logw = jnp.where(ok, jnp.logaddexp(logw, logw_s), logw)
+            z_l = jnp.where(ok & ~go_right, z_e, z_l)
+            r_l = jnp.where(ok & ~go_right, r_e, r_l)
+            g_l = jnp.where(ok & ~go_right, g_e, g_l)
+            z_r = jnp.where(ok & go_right, z_e, z_r)
+            r_r = jnp.where(ok & go_right, r_e, r_r)
+            g_r = jnp.where(ok & go_right, g_e, g_r)
+            turn_tree = _turning(z_r - z_l, r_l, r_r, m_inv)
+            turning = turn_s | (ok & turn_tree)
+            diverging = div_s
+            return (depth + 1, key, z_l, r_l, g_l, z_r, r_r, g_r, zp,
+                    lpp, logw, s_a, n_a, turning, diverging, True)
+
+        init = (jnp.asarray(0, jnp.int32), k_tree, z, r0, g0, z, r0, g0,
+                z, lp0, jnp.asarray(0.0, z.dtype),
+                jnp.asarray(0.0, z.dtype), jnp.asarray(0.0, z.dtype),
+                jnp.asarray(False), jnp.asarray(False), True)
+        out = jax.lax.while_loop(cond, body, init)
+        zp, lpp = out[8], out[9]
+        s_a, n_a = out[11], out[12]
+        # an invalid current state accepts any finite proposal
+        valid = jnp.isfinite(lpp)
+        zp = jnp.where(valid, zp, z)
+        lpp = jnp.where(valid, lpp, lp)
+        alpha = jnp.where(n_a > 0, s_a / jnp.maximum(n_a, 1.0), 0.0)
+        return zp, lpp, alpha
+
+    if algorithm == "nuts":
+        def _step1(rng, z, lp, eps, m_inv):
+            return nuts_step(rng, z, lp, eps, m_inv, max_depth)
+        vstep = jax.vmap(_step1, in_axes=(0, 0, 0, None, None))
+    elif algorithm == "hmc":
+        vstep = jax.vmap(hmc_step, in_axes=(0, 0, 0, None, None))
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     batched_logpost = jax.jit(jax.vmap(logpost))
 
     # -- initial chain positions -------------------------------------------

@@ -680,20 +680,22 @@ def make_engine(spec: GPRNSpec,
         var = jnp.concatenate([varf.ravel(), varw.ravel()])
         return elbo, mu, var
 
-    def _masked_sweeps(theta, t, y, yerr2, mu0, var0, n_sweeps):
+    def _masked_sweeps(theta, t, y, yerr2, mu0, var0, n_sweeps,
+                       bucket: int):
         """``n_sweeps`` coordinate-ascent sweeps with ``n_sweeps`` a
-        TRACED value: a ``lax.scan`` over ``MAX_SWEEPS`` counters whose
+        TRACED value: a ``lax.scan`` over ``bucket`` counters whose
         body is a ``lax.cond`` on ``i < n_sweeps``.  The predicate is
         scalar (never batched — the counter and the shared sweep count),
         so the skipped tail stays a true branch even under vmap and
-        costs one carry copy per iteration; callers can vary the sweep
-        count freely without recompiling (one compilation per model
-        structure instead of one per ``n_sweeps`` value)."""
+        costs one carry copy per iteration.  ``bucket`` is the static
+        scan length, rounded up to a power of two by the dispatcher —
+        one compilation per (structure, bucket) instead of one per
+        sweep count, with the no-op tail bounded at <2×."""
         Kf, Kw_flat, L_all, y_c, y_raw, variance = _prepare(
             theta, t, y, yerr2)
         muF0, muW0 = _u_split(jnp.asarray(mu0).ravel())
         varF0, varW0 = _u_split(jnp.asarray(var0).ravel())
-        n = jnp.minimum(jnp.asarray(n_sweeps, jnp.int32), MAX_SWEEPS)
+        n = jnp.minimum(jnp.asarray(n_sweeps, jnp.int32), bucket)
 
         def step(carry, i):
             def do(c):
@@ -708,7 +710,7 @@ def make_engine(spec: GPRNSpec,
 
         init = (muF0, varF0, muW0, varW0, jnp.array(0.0, muF0.dtype))
         (muF, varF, muW, varW, elbo), _ = lax.scan(
-            step, init, jnp.arange(MAX_SWEEPS, dtype=jnp.int32))
+            step, init, jnp.arange(bucket, dtype=jnp.int32))
         return elbo, muF, varF, muW, varW
 
     def _static_sweeps(theta, t, y, yerr2, mu0, var0, n_sweeps: int):
@@ -731,32 +733,48 @@ def make_engine(spec: GPRNSpec,
         return elbos[-1], muF, varF, muW, varW
 
     def _mk_elbo_fixed(sweeps_fn):
-        def elbo_fixed(theta, t, y, yerr2, mu0, var0, n_sweeps):
-            elbo, *_ = sweeps_fn(theta, t, y, yerr2, mu0, var0, n_sweeps)
+        def elbo_fixed(theta, t, y, yerr2, mu0, var0, n_sweeps,
+                       bucket=None):
+            args = (n_sweeps,) if bucket is None else (n_sweeps, bucket)
+            elbo, *_ = sweeps_fn(theta, t, y, yerr2, mu0, var0, *args)
             return elbo
         return elbo_fixed
 
     def _mk_elbo_refine(sweeps_fn):
-        def elbo_refine(theta, t, y, yerr2, mu0, var0, n_sweeps):
+        def elbo_refine(theta, t, y, yerr2, mu0, var0, n_sweeps,
+                        bucket=None):
+            args = (n_sweeps,) if bucket is None else (n_sweeps, bucket)
             elbo, muF, varF, muW, varW = sweeps_fn(
-                theta, t, y, yerr2, mu0, var0, n_sweeps)
+                theta, t, y, yerr2, mu0, var0, *args)
             mu = jnp.concatenate([muF.ravel(), muW.ravel()])
             var = jnp.concatenate([varF.ravel(), varW.ravel()])
             return elbo, mu, var
         return elbo_refine
 
+    def _bucket(n: int) -> int:
+        b = 8
+        while b < n:
+            b <<= 1
+        return b
+
     def _dispatch(masked_fn, static_fn):
         """Python-level dispatch on the sweep count: counts ≤
-        ``MAX_SWEEPS`` go to the masked-scan jit (n_sweeps traced —
-        ONE compilation for every count, the fix for the round-1
-        per-count recompiles); larger concrete counts fall back to a
+        ``MAX_SWEEPS`` go to the masked-scan jit with the scan length
+        bucketed to the next power of two (n_sweeps itself stays
+        traced — ONE compilation per bucket instead of one per count,
+        the fix for the round-1 per-count recompiles, with the no-op
+        tail bounded at <2×); larger concrete counts fall back to a
         per-count static scan (rare diagnostic use)."""
         def call(theta, t, y, yerr2, mu0, var0, n_sweeps):
-            if isinstance(n_sweeps, (int, np.integer)) and \
-                    int(n_sweeps) > MAX_SWEEPS:
-                return static_fn(theta, t, y, yerr2, mu0, var0,
-                                 int(n_sweeps))
-            return masked_fn(theta, t, y, yerr2, mu0, var0, n_sweeps)
+            if isinstance(n_sweeps, (int, np.integer)):
+                if int(n_sweeps) > MAX_SWEEPS:
+                    return static_fn(theta, t, y, yerr2, mu0, var0,
+                                     int(n_sweeps))
+                bucket = _bucket(int(n_sweeps))
+            else:
+                bucket = MAX_SWEEPS     # traced count: worst-case bucket
+            return masked_fn(theta, t, y, yerr2, mu0, var0, n_sweeps,
+                             bucket)
         call.masked = masked_fn      # exposed for compile-count tests
         call.static = static_fn
         return call
@@ -767,9 +785,11 @@ def make_engine(spec: GPRNSpec,
     _elbo_refine_static = _mk_elbo_refine(_static_sweeps)
 
     def _vg(fn):
-        def _value_and_grad(theta, t, y, yerr2, mu0, var0, n_sweeps):
+        def _value_and_grad(theta, t, y, yerr2, mu0, var0, n_sweeps,
+                            bucket=None):
+            args = (n_sweeps,) if bucket is None else (n_sweeps, bucket)
             return jax.value_and_grad(fn)(theta, t, y, yerr2, mu0, var0,
-                                          n_sweeps)
+                                          *args)
         return _value_and_grad
 
     # ---- posterior predictive (meanfield.py:1289-1379, _gp.py:107-138) ----
@@ -831,14 +851,15 @@ def make_engine(spec: GPRNSpec,
         spec=spec,
         init_mu_var=jit(init_mu_var),
         elbo_fit=jit(elbo_fit),
-        elbo_fixed=_dispatch(jit(_elbo_fixed_masked),
-                             jit(_elbo_fixed_static, static_argnums=(6,))),
+        elbo_fixed=_dispatch(
+            jit(_elbo_fixed_masked, static_argnums=(7,)),
+            jit(_elbo_fixed_static, static_argnums=(6,))),
         elbo_value_and_grad=_dispatch(
-            jit(_vg(_elbo_fixed_masked)),
+            jit(_vg(_elbo_fixed_masked), static_argnums=(7,)),
             jit(_vg(_elbo_fixed_static), static_argnums=(6,))),
-        elbo_refine=_dispatch(jit(_elbo_refine_masked),
-                              jit(_elbo_refine_static,
-                                  static_argnums=(6,))),
+        elbo_refine=_dispatch(
+            jit(_elbo_refine_masked, static_argnums=(7,)),
+            jit(_elbo_refine_static, static_argnums=(6,))),
         fit_state=jit(fit_state),
         fit_state_lean=jit(fit_state_lean),
         predict=jit(predict),

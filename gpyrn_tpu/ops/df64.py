@@ -282,15 +282,13 @@ def df_cholesky(A: DF, max_n=None) -> DF:
 
 
 def df_logdet_from_chol(L: DF):
-    """log det A = 2 Σ log L_ii, evaluated with a df-accurate log:
-    log(hi·(1+lo/hi)) = log(hi) + log1p(lo/hi).  Returned as f32 pair
-    folded to a single f32 (the final summation is the dominant error
-    and is df-accumulated)."""
+    """log det A = 2 Σ log L_ii with the df-accurate ``df_log``
+    (Newton-corrected; the hardware f32 log is several ulp off on TPU
+    and its summed error dominated on-chip logdet accuracy)."""
+    from gpyrn_tpu.ops.df64_math import df_log
     d_hi = jnp.diagonal(L.hi)
     d_lo = jnp.diagonal(L.lo)
-    logs = jnp.log(d_hi) + jnp.log1p(d_lo / d_hi)
-    # df-accumulate the (f32) logs to avoid O(N)·eps growth
-    s = df_sum(df(logs))
+    s = df_sum(df_log(DF(d_hi, d_lo)))
     return 2.0 * s.hi, 2.0 * s.lo
 
 

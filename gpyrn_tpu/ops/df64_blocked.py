@@ -273,9 +273,15 @@ def df_cho_solve_blocked(F: CholFactors, RHS: DF) -> DF:
 
 def df_logdet_blocked(F: CholFactors) -> DF:
     """log det A = 2 Σ log L_ii per batch element, df-accumulated.
-    The padded tail diagonal is 1 (log = 0), so no masking is needed."""
+    The padded tail diagonal is 1 (log = 0), so no masking is needed.
+
+    Uses the df-accurate ``df_log`` (Newton-corrected) rather than the
+    hardware ``jnp.log``: the TPU VPU's f32 log is several ulp off and
+    its per-element error sums to ~4e-7 RELATIVE logdet error at N=512
+    (measured) — the limiting term of on-chip exact-ELBO parity —
+    while df_log keeps the sum at the df64 floor."""
+    from gpyrn_tpu.ops.df64_math import df_log
     d_hi = jnp.diagonal(F.L.hi, axis1=-2, axis2=-1)
     d_lo = jnp.diagonal(F.L.lo, axis1=-2, axis2=-1)
-    logs = jnp.log(d_hi) + jnp.log1p(d_lo / d_hi)
-    s = df_sum(DF(logs, jnp.zeros_like(logs)), axis=-1)
+    s = df_sum(df_log(DF(d_hi, d_lo)), axis=-1)
     return DF(2.0 * s.hi, 2.0 * s.lo)

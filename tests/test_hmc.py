@@ -99,3 +99,52 @@ def test_hmc_multi_node_smoke(multi_dataset):
     gprn.thaw_all_parameters()
     assert res.chain.shape == (6, 2, 2)
     assert np.all(np.isfinite(res.log_prob))
+
+
+def test_nuts_smoke(tiny_dataset):
+    t, y, yerr = tiny_dataset
+    gprn = g.inference(1, t, y, yerr)
+    gprn.set_components([g.covfunc.Periodic(1.0, 10.0, 0.5)],
+                        [g.covfunc.SquaredExponential(1.0, 5.0)],
+                        [None], [0.1])
+    gprn.ELBOcalc()
+    priors = {
+        'node1.theta': pr.LogNormal(0.0, 0.5),
+        'node1.P': pr.Normal(10.0, 1.0),
+        'node1.ell': pr.LogNormal(np.log(0.5), 0.5),
+        'weight1.theta': pr.LogNormal(0.0, 0.5),
+        'weight1.ell': pr.LogNormal(np.log(5.0), 0.5),
+        'jitter1': pr.LogNormal(np.log(0.1), 0.5),
+    }
+    res = run_hmc(gprn, priors, n_samples=8, n_warmup=6, n_chains=2,
+                  n_sweeps=8, algorithm='nuts', max_depth=4,
+                  p0=gprn.get_parameters(), seed=0)
+    assert res.chain.shape == (8, 2, 6)
+    assert np.all(res.chain > 0)
+    assert np.all(np.isfinite(res.log_prob))
+    assert 0.0 <= res.acceptance <= 1.0
+
+
+def test_nuts_agrees_with_hmc_posterior(tiny_dataset):
+    """NUTS and HMC sample the same posterior on a well-identified
+    1-parameter problem: posterior means within combined MC error."""
+    t, y, yerr = tiny_dataset
+    gprn = g.inference(1, t, y, yerr)
+    gprn.set_components([g.covfunc.Periodic(1.0, 10.0, 0.5)],
+                        [g.covfunc.SquaredExponential(1.0, 5.0)],
+                        [None], [0.1])
+    gprn.ELBOcalc()
+    gprn._apply_vars_selection(['node1.P'])
+    priors = {'node1.P': pr.Normal(10.0, 0.5)}
+    p0 = gprn.get_parameters()
+    res_h = run_hmc(gprn, priors, n_samples=120, n_warmup=40,
+                    n_chains=3, n_leapfrog=5, n_sweeps=8, p0=p0, seed=1)
+    res_n = run_hmc(gprn, priors, n_samples=120, n_warmup=40,
+                    n_chains=3, n_sweeps=8, algorithm='nuts',
+                    max_depth=5, p0=p0, seed=2)
+    gprn.thaw_all_parameters()
+    c_h = res_h.get_chain(discard=40, flat=True)[:, 0]
+    c_n = res_n.get_chain(discard=40, flat=True)[:, 0]
+    s = max(c_h.std(), c_n.std())
+    assert abs(c_h.mean() - c_n.mean()) < 0.75 * s
+    assert c_n.std() > 0          # the chain actually moves

@@ -33,10 +33,13 @@ def setup():
 def test_varying_n_sweeps_single_compilation(setup):
     m, eng, theta, tt, mu0, var0 = setup
     vals = {}
-    for n in (2, 5, 9):
+    # all counts within one power-of-two bucket share ONE compilation
+    for n in (2, 5, 8):
         vals[n] = float(eng.elbo_fixed(theta, tt, m.y, m.yerr2,
                                        mu0, var0, n))
     assert eng.elbo_fixed.masked._cache_size() == 1
+    vals[5] = float(eng.elbo_fixed(theta, tt, m.y, m.yerr2,
+                                   mu0, var0, 5))
     # semantics: n sweeps of the masked scan == n sweep_once applications
     mu, var = mu0, var0
     for _ in range(5):
