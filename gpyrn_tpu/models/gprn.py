@@ -398,10 +398,15 @@ def make_engine(spec: GPRNSpec,
         return elbo, mu_f, dSf, mu_w, dSw_qp.transpose(1, 0, 2)
 
     # chunk width for the memory-lean diag(Σ) computation: XLA's TPU
-    # triangular solve stages O(N/128) panel copies of its RHS, so a
-    # full N×N RHS costs ~40× the matrix size in HLO temps (OOM at
-    # N=10k); solving C columns at a time bounds the temp to O(N·C)
-    DIAG_CHUNK = _CHUNK_OVERRIDE or min(2048, ((N + 127) // 128) * 128)
+    # triangular solve stages O(N/128) panel copies of its RHS, i.e.
+    # ~40× the RHS bytes in HLO temps (OOM at N=10k with a full N×N
+    # RHS).  Chunking bounds the temp to ~40·N·C·4 bytes, so C shrinks
+    # with N to keep that under ~2.5 GB (C=2048 up to N≈7k, 768 at
+    # N=20k — measured: the fixed 2048 put the N=20k lean fit 7 GB over
+    # the chip's 15.75 GB HBM)
+    DIAG_CHUNK = _CHUNK_OVERRIDE or min(
+        2048, ((N + 127) // 128) * 128,
+        max(128, (15_000_000 // max(N, 1)) // 128 * 128))
 
     def _sigma_apply_and_diag(L, K, rhs):
         """Given chol L of A = K + D⁻¹ and a batch of matrices K with
@@ -502,20 +507,48 @@ def make_engine(spec: GPRNSpec,
         node_c = _core(node_p, node_maps)
         weight_c = _core(weight_p, weight_maps)
 
+        def _grouped_updates(structs, params, d_adds, preds):
+            """Run `_gp_update_lean` for a list of GPs, with
+            same-structure GPs batched through ``lax.map`` — the map
+            body's buffers (K, A's factor, solve temps; each ~N² at
+            large N) are reused across its iterations BY CONSTRUCTION,
+            where an unrolled loop left one set per GP live in the
+            buffer plan (measured: 3 concurrent 1.5 GB kernel builds
+            at N=20k)."""
+            n_gp = len(structs)
+            mu_rows = [None] * n_gp
+            dS_rows = [None] * n_gp
+            groups = {}
+            for a, s in enumerate(structs):
+                groups.setdefault(s, []).append(a)
+            for s, idxs in groups.items():
+                if len(idxs) == 1:
+                    a = idxs[0]
+                    mu_rows[a], dS_rows[a] = _gp_update_lean(
+                        s, params[a], t, d_adds[a], preds[a])
+                    continue
+                cp = jnp.stack([jnp.asarray(params[a]) for a in idxs])
+                da = jnp.stack([d_adds[a] for a in idxs])
+                pr = jnp.stack([preds[a] for a in idxs])
+                ms, dss = lax.map(
+                    lambda args, s=s: _gp_update_lean(s, args[0], t,
+                                                      args[1], args[2]),
+                    (cp, da, pr))
+                for j, a in enumerate(idxs):
+                    mu_rows[a] = ms[j]
+                    dS_rows[a] = dss[j]
+            return jnp.stack(mu_rows), jnp.stack(dS_rows)
+
         dv = jnp.sum((muW * muW + varW) / variance[:, None, :], axis=0)
         total = jnp.einsum("pqn,qn->pn", muW, muF)
         resid = (y_c[None, :, :] - total[None, :, :] +
                  muW.transpose(1, 0, 2) * muF[:, None, :])
         pred = jnp.einsum("qpn,pqn->qn", resid,
                           muW / variance[:, None, :])
-        mu_f_rows, dSf_rows = [], []
-        for j in range(q):
-            m, dS = _gp_update_lean(spec.node_structs[j], node_c[j], t,
-                                    1.0 / dv[j], pred[j])
-            mu_f_rows.append(m)
-            dSf_rows.append(dS)
-        mu_f = jnp.stack(mu_f_rows)
-        dSf = jnp.stack(dSf_rows)
+        mu_f, dSf = _grouped_updates(
+            list(spec.node_structs), node_c,
+            [1.0 / dv[j] for j in range(q)],
+            [pred[j] for j in range(q)])
 
         dv2 = mu_f * mu_f + dSf
         total2 = jnp.einsum("pqn,qn->pn", muW, mu_f)
@@ -525,14 +558,12 @@ def make_engine(spec: GPRNSpec,
                  variance[None, :, :]).reshape(q * p, N)
         ratio = (variance[None, :, :] /
                  dv2[:, None, :]).reshape(q * p, N)
-        mu_w_rows, dSw_rows = [], []
-        for a in range(q * p):
-            m, dS = _gp_update_lean(spec.weight_structs[a], weight_c[a],
-                                    t, ratio[a], pred2[a])
-            mu_w_rows.append(m)
-            dSw_rows.append(dS)
-        mu_w = jnp.stack(mu_w_rows).reshape(q, p, N).transpose(1, 0, 2)
-        dSw = jnp.stack(dSw_rows).reshape(q, p, N)
+        mu_w_flat, dSw_flat = _grouped_updates(
+            list(spec.weight_structs), weight_c,
+            [ratio[a] for a in range(q * p)],
+            [pred2[a] for a in range(q * p)])
+        mu_w = mu_w_flat.reshape(q, p, N).transpose(1, 0, 2)
+        dSw = dSw_flat.reshape(q, p, N)
         return mu_f, dSf, mu_w, dSw.transpose(1, 0, 2)
 
     def fit_state_lean(theta, t, y, yerr2, mu0, var0, max_iter, tol):
