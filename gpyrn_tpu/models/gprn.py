@@ -287,7 +287,9 @@ def make_engine(spec: GPRNSpec,
         panel copies of its RHS in HBM (~40× the RHS size in temps —
         OOM at N=10k); chunking the RHS bounds the temp to O(N·C) while
         producing the identical full solution."""
-        C = _CHUNK_OVERRIDE or min(2048, ((N + 127) // 128) * 128)
+        C = _CHUNK_OVERRIDE or min(
+            2048, ((N + 127) // 128) * 128,
+            max(128, (15_000_000 // max(N, 1)) // 128 * 128))
         if N <= C:
             return _trisolve(L, K)
         n_chunks = (N + C - 1) // C
