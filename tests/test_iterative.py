@@ -1,0 +1,113 @@
+"""Matrix-free CG / Lanczos toolkit (ops/iterative.py) vs dense oracles."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import gpyrn_tpu as g
+from gpyrn_tpu.ops.iterative import (cg_solve, kernel_matvec, lanczos,
+                                     slq_logdet)
+from gpyrn_tpu.ops.linalg import TRAIN_NUGGET, kernel_matrix
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(0)
+    N = 300
+    t = np.sort(rng.uniform(0, 100, N))
+    kern = g.covfunc.QuasiPeriodic(1.0, 30.0, 20.0, 0.7)
+    K = np.asarray(kernel_matrix(kern.structure, kern.pars, t,
+                                 TRAIN_NUGGET), dtype=np.float64)
+    return rng, t, kern, K
+
+
+def test_matvec_matches_dense(problem):
+    rng, t, kern, K = problem
+    v = rng.standard_normal((len(t), 3))
+    y = np.asarray(kernel_matvec(kern.structure, kern.pars, t, v,
+                                 nugget=TRAIN_NUGGET, chunk=128))
+    np.testing.assert_allclose(y, K @ v, rtol=2e-6, atol=1e-8)
+    # 1-D input round-trips
+    y1 = np.asarray(kernel_matvec(kern.structure, kern.pars, t, v[:, 0],
+                                  nugget=TRAIN_NUGGET, chunk=64))
+    np.testing.assert_allclose(y1, K @ v[:, 0], rtol=2e-6, atol=1e-8)
+
+
+def test_cg_matches_direct_solve(problem):
+    rng, t, kern, K = problem
+    N = len(t)
+    d = 0.3 + rng.random(N)               # well-conditioned A = K + D
+    A = K + np.diag(d)
+    b = rng.standard_normal((N, 2))
+
+    def matvec(v):
+        return kernel_matvec(kern.structure, kern.pars, t, v,
+                             nugget=TRAIN_NUGGET) + d[:, None] * v
+
+    x, it = cg_solve(matvec, b, tol=1e-10, maxiter=500,
+                     precond_diag=jnp.asarray(np.diag(A)))
+    x_ref = np.linalg.solve(A, b)
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=5e-5,
+                               atol=1e-6)
+    assert int(it) < 500
+
+
+def test_gp_conditional_mean_via_cg(problem):
+    """Predictive mean through CG equals the dense GP conditional."""
+    rng, t, kern, K = problem
+    N = len(t)
+    noise = np.full(N, 0.05 ** 2)
+    y = np.sin(2 * np.pi * t / 30) + 0.05 * rng.standard_normal(N)
+
+    def matvec(v):
+        return kernel_matvec(kern.structure, kern.pars, t, v,
+                             nugget=TRAIN_NUGGET) + noise[:, None] * v
+
+    alpha, _ = cg_solve(matvec, y, tol=1e-10, maxiter=1000,
+                        precond_diag=jnp.asarray(np.diag(K) + noise))
+    tstar = np.linspace(0, 100, 40)
+    Ks = np.asarray(
+        g.covfunc  # noqa: F841 - dense cross-covariance oracle below
+        and kernel_matrix(kern.structure, kern.pars, t, 0.0))
+    from gpyrn_tpu.ops.linalg import cross_kernel_matrix
+    Kstar = np.asarray(cross_kernel_matrix(kern.structure, kern.pars,
+                                           tstar, t))
+    mean_cg = Kstar @ np.asarray(alpha)
+    mean_ref = Kstar @ np.linalg.solve(K + np.diag(noise), y)
+    np.testing.assert_allclose(mean_cg, mean_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_slq_logdet_accuracy(problem):
+    rng, t, kern, K = problem
+    N = len(t)
+    d = 0.5 + rng.random(N)
+    A = K + np.diag(d)
+
+    def matvec(v):
+        return kernel_matvec(kern.structure, kern.pars, t, v,
+                             nugget=TRAIN_NUGGET) + d * v
+
+    est = float(slq_logdet(matvec, N, n_probes=24, n_steps=30,
+                           key=jax.random.PRNGKey(1), dtype=jnp.float64))
+    _, ld = np.linalg.slogdet(A)
+    assert est == pytest.approx(ld, rel=0.05)
+
+
+def test_lanczos_extreme_eigs(problem):
+    """Lanczos T's extreme Ritz values bracket toward A's spectrum."""
+    rng, t, kern, K = problem
+    N = len(t)
+    A = K + np.eye(N)
+
+    def matvec(v):
+        return kernel_matvec(kern.structure, kern.pars, t, v,
+                             nugget=TRAIN_NUGGET) + v
+
+    v0 = jnp.asarray(rng.standard_normal(N))
+    al, be = lanczos(matvec, v0, 30)
+    T = np.diag(np.asarray(al)) + np.diag(np.asarray(be)[:-1], 1) + \
+        np.diag(np.asarray(be)[:-1], -1)
+    ritz = np.linalg.eigvalsh(T)
+    w = np.linalg.eigvalsh(A)
+    assert ritz.max() <= w.max() * 1.01
+    assert ritz.max() >= w.max() * 0.9      # top eigenvalue converged
