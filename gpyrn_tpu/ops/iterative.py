@@ -34,7 +34,8 @@ from jax import lax
 
 from gpyrn_tpu.ops import kernels as _k
 
-__all__ = ["kernel_matvec", "cg_solve", "slq_logdet", "lanczos"]
+__all__ = ["kernel_matvec", "cg_solve", "slq_logdet", "lanczos",
+           "df64_kernel_matvec", "cg_refined"]
 
 
 def kernel_matvec(structure, params, t, v, nugget=0.0, chunk: int = 2048):
@@ -167,3 +168,88 @@ def slq_logdet(matvec, n, n_probes: int = 16, n_steps: int = 25,
 
     vals = jax.vmap(one)(probes)
     return n * jnp.mean(vals)
+
+
+def df64_kernel_matvec(structure, params, t, x, nugget=0.0,
+                       chunk: int = 2048):
+    """y = (K + nugget·I) @ x with double-single assembly AND
+    accumulation — the high-precision residual oracle for
+    :func:`cg_refined` (f32 CG stalls near sqrt-eps; a df64 residual
+    restores the true error so refinement can push past the stall).
+    ``x`` may be float64 (host-split exactly); returns float64 numpy."""
+    import numpy as _np
+    from gpyrn_tpu.ops.df64 import DF, df_add, df_mul, df_sub, df_sum
+    from gpyrn_tpu.ops.df64_kernels import _evaluate, df_supported
+    if not df_supported(structure):
+        raise ValueError(f"structure {structure} not df64-supported")
+
+    def _host_split(a):
+        a64 = _np.asarray(a, _np.float64)
+        hi = a64.astype(_np.float32)
+        lo = (a64 - hi.astype(_np.float64)).astype(_np.float32)
+        return DF(jnp.asarray(hi), jnp.asarray(lo))
+
+    t_df = _host_split(t)                  # exact f64 times as df pairs
+    p64 = _np.asarray(params, _np.float64)
+    params_df = [_host_split(p64[i]) for i in range(p64.size)]
+    x_df = x if isinstance(x, DF) else _host_split(x)
+    N = t_df.hi.shape[0]
+    C = int(min(chunk, N))
+    n_chunks = -(-N // C)
+    Np = n_chunks * C
+    far = float(_np.asarray(t, _np.float64)[-1] + 1e6)
+    th_pad = jnp.pad(t_df.hi, (0, Np - N), constant_values=far)
+    tl_pad = jnp.pad(t_df.lo, (0, Np - N))
+
+    def one_chunk(carry, k):
+        rh = lax.dynamic_slice_in_dim(th_pad, k * C, C)
+        rl = lax.dynamic_slice_in_dim(tl_pad, k * C, C)
+        r = df_sub(DF(rh[:, None], rl[:, None]),
+                   DF(t_df.hi[None, :], t_df.lo[None, :]))
+        Kb = _evaluate(structure, params_df, r)
+        prod = df_mul(Kb, DF(x_df.hi[None, :], x_df.lo[None, :]))
+        s = df_sum(prod, axis=1)
+        return carry, (s.hi, s.lo)
+
+    _, (hi, lo) = lax.scan(one_chunk, 0, jnp.arange(n_chunks))
+    y_hi = hi.reshape(Np)[:N]
+    y_lo = lo.reshape(Np)[:N]
+    nug = _host_split(nugget)
+    y = df_add(DF(y_hi, y_lo), df_mul(DF(jnp.broadcast_to(nug.hi, (N,)),
+                                         jnp.broadcast_to(nug.lo, (N,))),
+                                      x_df))
+    # recombine on host at full float64 (the point of this oracle)
+    return _np.asarray(y.hi, _np.float64) + _np.asarray(y.lo, _np.float64)
+
+
+def cg_refined(matvec_f32, residual_matvec, b, n_refine: int = 3,
+               tol: float = 1e-6, inner_tol: float = 1e-5,
+               maxiter: int = 500, precond_diag=None):
+    """Mixed-precision iterative refinement around f32 CG.
+
+    Solve A x = b by repeating: r ← b − A x (through ``residual_matvec``,
+    a HIGH-precision matvec, e.g. :func:`df64_kernel_matvec` plus the
+    diagonal terms); δ ← CG_f32(A, r); x ← x + δ.  Each pass multiplies
+    the error by the inner solver's relative accuracy (~1e-3 at the f32
+    stall), so 2–3 passes reach ~1e-6 where plain f32 CG plateaus.
+    Returns (x, final relative residual)."""
+    import numpy as _np
+    b64 = _np.asarray(b, _np.float64)
+    x0, _ = cg_solve(matvec_f32, jnp.asarray(b, jnp.float32),
+                     tol=inner_tol, maxiter=maxiter,
+                     precond_diag=precond_diag)
+    x = _np.asarray(x0, _np.float64)        # accumulate in float64
+    bnorm = max(float(_np.linalg.norm(b64)), 1e-30)
+    rel = float("inf")
+    for _ in range(n_refine):
+        r = b64 - _np.asarray(residual_matvec(x), _np.float64)
+        rel = float(_np.linalg.norm(r)) / bnorm
+        if rel < tol:
+            break
+        delta, _ = cg_solve(matvec_f32, jnp.asarray(r, jnp.float32),
+                            tol=inner_tol, maxiter=maxiter,
+                            precond_diag=precond_diag)
+        x = x + _np.asarray(delta, _np.float64)
+    r = b64 - _np.asarray(residual_matvec(x), _np.float64)
+    rel = float(_np.linalg.norm(r)) / bnorm
+    return x, rel

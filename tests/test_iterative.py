@@ -111,3 +111,41 @@ def test_lanczos_extreme_eigs(problem):
     w = np.linalg.eigvalsh(A)
     assert ritz.max() <= w.max() * 1.01
     assert ritz.max() >= w.max() * 0.9      # top eigenvalue converged
+
+
+def test_cg_refined_beats_f32_stall():
+    """Mixed-precision iterative refinement: f32 CG stalls near its
+    rounding floor; df64 residuals push the solve to ~1e-6."""
+    rng = np.random.default_rng(5)
+    N = 250
+    t = np.sort(rng.uniform(0, 100, N))
+    kern = g.covfunc.QuasiPeriodic(1.0, 30.0, 20.0, 0.7)
+    noise = np.float32(0.01)
+    b = rng.standard_normal(N).astype(np.float32)
+    t32 = jnp.asarray(t, jnp.float32)
+    pars32 = jnp.asarray(np.asarray(kern.pars), jnp.float32)
+
+    def matvec32(v):
+        return kernel_matvec(kern.structure, pars32, t32,
+                             jnp.asarray(v, jnp.float32),
+                             nugget=1e-4) + noise * jnp.asarray(
+                                 v, jnp.float32)
+
+    from gpyrn_tpu.ops.iterative import cg_refined, df64_kernel_matvec
+
+    def residual_matvec(x):
+        return df64_kernel_matvec(kern.structure, kern.pars, t, x,
+                                  nugget=1e-4) + noise * x
+
+    precond = jnp.full(N, np.float32(1.0 + 0.01))
+    x_plain, _ = cg_solve(matvec32, jnp.asarray(b), tol=1e-12,
+                          maxiter=2000, precond_diag=precond)
+    r_plain = np.asarray(residual_matvec(x_plain)) - b
+    rel_plain = np.linalg.norm(r_plain) / np.linalg.norm(b)
+
+    x_ref, rel_ref = cg_refined(matvec32, residual_matvec,
+                                jnp.asarray(b), n_refine=3,
+                                inner_tol=1e-6, maxiter=2000,
+                                precond_diag=precond)
+    assert float(rel_ref) < 3e-6
+    assert float(rel_ref) < rel_plain * 0.5 or rel_plain < 3e-6
