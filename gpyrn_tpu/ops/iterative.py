@@ -74,12 +74,14 @@ def kernel_matvec(structure, params, t, v, nugget=0.0, chunk: int = 2048):
 
 
 def cg_solve(matvec, b, tol: float = 1e-8, maxiter: int = 1000,
-             precond_diag: Optional[jnp.ndarray] = None):
+             precond_diag: Optional[jnp.ndarray] = None, x0=None):
     """Solve A x = b by (Jacobi-)preconditioned conjugate gradients.
 
     ``matvec`` maps (N, m) -> (N, m) (columns are independent systems);
     b may be (N,) or (N, m).  Per-column α/β, shared matvecs — the
-    batched-CG layout that keeps the MXU busy.  Returns (x, n_iters).
+    batched-CG layout that keeps the MXU busy.  ``x0`` warm-starts the
+    iteration (restart the loop from the host in bounded chunks where
+    a runtime kills long device calls).  Returns (x, n_iters).
     """
     b = jnp.asarray(b)
     squeeze = b.ndim == 1
@@ -91,8 +93,14 @@ def cg_solve(matvec, b, tol: float = 1e-8, maxiter: int = 1000,
     def apply_M(r):
         return r * Minv if Minv is not None else r
 
-    x0 = jnp.zeros_like(b)
-    r0 = b
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+        r0 = b
+    else:
+        x0 = jnp.asarray(x0)
+        if x0.ndim == 1:
+            x0 = x0[:, None]
+        r0 = b - matvec(x0)
     z0 = apply_M(r0)
     p0 = z0
     rz0 = jnp.sum(r0 * z0, axis=0)
