@@ -298,3 +298,87 @@ class inference:
                                        learning_rate)
         self._traj = np.asarray(traj)
         return float(elbo), np.asarray(mu), np.exp(np.asarray(logs))
+
+    # ------------------------------------------------------------------
+    # posterior predictive & component maintenance (TPU-native
+    # extensions; the reference's experimental module has neither)
+    # ------------------------------------------------------------------
+
+    def predict(self, nodes, weights, means, jitters, mu, var,
+                tstar=None, nn: int = 1000):
+        """Mixture posterior predictive per output.
+
+        Each component's state (μ_j, s_j²·1) defines the same GPRN
+        conditionals as a mean-field state, evaluated with the batched
+        lattice engine; the uniform mixture then combines them:
+
+            mean = (1/k) Σ_j mean_j
+            var  = (1/k) Σ_j (var_j + mean_j²) − mean².
+
+        Args mirror ``ELBOcalc``; ``mu`` is (k, d) and ``var`` the
+        per-component std-dev vector of shape (k,).  Returns
+        ``(tstar, mean (n*, p), std (n*, p))``.
+        """
+        means_l = self._normalize_means(means)
+        jitters = np.atleast_1d(np.asarray(jitters, dtype=float))
+        spec = _core.spec_from_components(nodes, weights, means_l, self.N)
+        core_maps = None
+        if any(kk.has_core_map() for kk in list(nodes) + list(weights)):
+            core_maps = (
+                tuple(kk.core_params_from if kk.has_core_map() else None
+                      for kk in nodes),
+                tuple(kk.core_params_from if kk.has_core_map() else None
+                      for kk in weights),
+            )
+        eng = _core.make_engine(spec, core_maps)
+        theta = _core.pack_parameters(nodes, weights, means_l, jitters)
+        t = self.time
+        if tstar is None:
+            ptp = np.ptp(t)
+            tstar = np.linspace(t.min() - 0.2 * ptp,
+                                t.max() + 0.2 * ptp, nn)
+        tstar = np.atleast_1d(np.asarray(tstar, dtype=float))
+
+        mu = np.asarray(mu, dtype=float).reshape(self.k, self.d)
+        s2 = np.asarray(var, dtype=float).reshape(self.k) ** 2
+        comp_means, comp_vars = [], []
+        for j in range(self.k):
+            var_j = np.full(self.d, s2[j])
+            m_out, v_out, _, _ = eng.predict(theta, t, self.y,
+                                             self.yerr2, mu[j], var_j,
+                                             tstar)
+            comp_means.append(np.asarray(m_out))
+            comp_vars.append(np.asarray(v_out))
+        comp_means = np.stack(comp_means)                   # (k, n*, p)
+        comp_vars = np.stack(comp_vars)
+        mean = comp_means.mean(axis=0)
+        second = (comp_vars + comp_means ** 2).mean(axis=0)
+        std = np.sqrt(np.maximum(second - mean ** 2, 0.0))
+        return tstar, mean, std
+
+    def resample_components(self, mu, var, threshold: float = 1e-2,
+                            jitter_scale: float = 0.5, seed: int = 0):
+        """Re-initialize COLLAPSED mixture components.
+
+        Nonparametric VI's uniform mixture wastes capacity when two
+        components land on the same mode (a known failure mode of the
+        Gershman et al. family): any pair closer than
+        ``threshold × state scale`` has its second member re-seeded at a
+        randomly-perturbed copy of the pair (perturbation
+        ``jitter_scale × s_i``), after which ``ELBOcalc(mu=, var=)``
+        resumes the fit.  Returns ``(mu, var, n_resampled)``.
+        """
+        rng = np.random.default_rng(seed)
+        mu = np.array(np.asarray(mu, dtype=float).reshape(self.k, self.d))
+        var = np.array(np.asarray(var, dtype=float).reshape(self.k))
+        scale = max(float(np.sqrt(np.mean(mu ** 2))), 1e-12)
+        n_res = 0
+        for i in range(self.k):
+            for j in range(i + 1, self.k):
+                dist = np.sqrt(np.mean((mu[i] - mu[j]) ** 2))
+                if dist < threshold * scale:
+                    mu[j] = mu[i] + jitter_scale * var[i] * \
+                        rng.standard_normal(self.d)
+                    var[j] = var[i]
+                    n_res += 1
+        return mu, var, n_res

@@ -98,3 +98,39 @@ def test_elbocalc_state_roundtrip(problem):
     e2, *_ = gprn.ELBOcalc(nodes, weights, means, jitters,
                            iterations=0, mu=mu, var=var)
     assert e2 == pytest.approx(e1, rel=1e-6)
+
+
+@pytest.fixture(scope="module")
+def npv_problem(problem):
+    t, y, yerr = problem
+    nodes, weights, means, jitters = _components()
+    gprn = npv.inference(1, t, 3, y, yerr)
+    return gprn, nodes, weights, means, jitters
+
+
+def test_npv_predict_mixture(npv_problem):
+    gprn, nodes, weights, means, jitters = npv_problem
+    elbo, mu, var = gprn.ELBOcalc(nodes, weights, means, jitters,
+                                  iterations=120)
+    ts, mean, std = gprn.predict(nodes, weights, means, jitters, mu, var,
+                                 tstar=np.linspace(0, 40, 30))
+    assert mean.shape == (30, gprn.p)
+    assert std.shape == (30, gprn.p)
+    assert np.all(np.isfinite(mean)) and np.all(std >= 0)
+    # predictive roughly tracks the data scale inside the data window
+    assert np.max(np.abs(mean)) < 10 * np.max(np.abs(gprn.y))
+
+
+def test_npv_resample_components(npv_problem):
+    gprn, nodes, weights, means, jitters = npv_problem
+    rng = np.random.default_rng(0)
+    mu = 0.1 * rng.standard_normal((gprn.k, gprn.d))
+    mu[1] = mu[0]                       # collapsed pair
+    var = np.full(gprn.k, 0.3)
+    mu2, var2, n = gprn.resample_components(mu, var)
+    assert n >= 1
+    assert np.sqrt(np.mean((mu2[1] - mu2[0]) ** 2)) > 1e-6
+    # resumed fit stays finite
+    e, mu3, var3 = gprn.ELBOcalc(nodes, weights, means, jitters,
+                                 iterations=40, mu=mu2, var=var2)
+    assert np.isfinite(e)
