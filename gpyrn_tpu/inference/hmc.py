@@ -235,7 +235,7 @@ def run_hmc(gprn, priors: Dict, n_samples: int = 500, n_warmup: int = 100,
             turn_now = jax.lax.fori_loop(0, max_depth + 1, chk,
                                          jnp.asarray(False))
             turning = jnp.where(even, turning, turning | turn_now)
-            return (i + 1, key, z, r, g, zp, lpp, logw, ck_z, ck_r,
+            return (i + 1, key, z, r, g, zp, lpp, logw_new, ck_z, ck_r,
                     s_a, n_a, turning, diverging)
 
         init = (jnp.asarray(0, jnp.int32), key, z0, r0, g0, z0,
@@ -360,12 +360,22 @@ def run_hmc(gprn, priors: Dict, n_samples: int = 500, n_warmup: int = 100,
     n1 = n_warmup if mass_matrix == "identity" else max(n_warmup // 2, 1)
     z, lp, eps_bar, zs = jwarm(z, lp, m_inv, n1,
                                jnp.asarray(float(initial_step)), k1)
-    if mass_matrix == "diag" and n_warmup > 1:
-        # M⁻¹ = var(z) over phase-1's second half, floored for stability
-        zs2 = np.asarray(zs)[n1 // 2:].reshape(-1, ndim)
+    zs2 = np.asarray(zs)[n1 // 2:].reshape(-1, ndim)
+    if mass_matrix == "diag" and n_warmup > 1 and zs2.shape[0] >= 50:
+        # M⁻¹ = var(z) over phase-1's second half.  Only with enough
+        # samples: a variance estimated from a barely-moved short chain
+        # is near-zero, the dual averaging then inflates eps to
+        # compensate (eps·√m_inv is what matters) and the sampler lands
+        # on a degenerate scale (observed: eps≈4.5, 2 unique samples).
+        # Clipped to two decades around the median for the same reason.
         var_z = np.var(zs2, axis=0)
         scale = np.median(var_z[var_z > 0]) if np.any(var_z > 0) else 1.0
-        m_inv = jnp.asarray(np.clip(var_z, 1e-4 * scale, None))
+        m_inv = jnp.asarray(np.clip(var_z, 1e-2 * scale, 1e2 * scale))
+        z, lp, eps_bar, _ = jwarm(z, lp, m_inv, n_warmup - n1,
+                                  eps_bar, k2)
+    elif n_warmup - n1 > 0:
+        # not enough phase-1 samples for a mass estimate: finish the
+        # warmup budget with identity mass instead of truncating it
         z, lp, eps_bar, _ = jwarm(z, lp, m_inv, n_warmup - n1,
                                   eps_bar, k2)
     eps = eps_bar

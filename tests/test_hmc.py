@@ -147,4 +147,6 @@ def test_nuts_agrees_with_hmc_posterior(tiny_dataset):
     c_n = res_n.get_chain(discard=40, flat=True)[:, 0]
     s = max(c_h.std(), c_n.std())
     assert abs(c_h.mean() - c_n.mean()) < 0.75 * s
-    assert c_n.std() > 0          # the chain actually moves
+    # posterior WIDTHS must agree too — a frozen chain has ~zero std
+    # and once slipped past a mean-only check (the logw carry bug)
+    assert 0.2 * c_h.std() < c_n.std() < 5.0 * c_h.std()
