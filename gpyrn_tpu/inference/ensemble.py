@@ -213,9 +213,11 @@ def _run_ensemble_device(gprn, priors, free_names, x0, mu0, var0, niter,
                                              S2, S1)
         return (x, lp, elbo, mu, var), (x, lp, elbo, a1 + a2)
 
-    @jax.jit
-    def segment(carry, key):
-        keys = jax.random.split(key, check_every)
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(2,))
+    def segment(carry, key, k):
+        keys = jax.random.split(key, k)
         return jax.lax.scan(step, carry, keys)
 
     # initial log-posterior (one device call)
@@ -236,12 +238,14 @@ def _run_ensemble_device(gprn, priors, free_names, x0, mu0, var0, niter,
     steps_done = 0
     while steps_done < niter:
         key, sub = jax.random.split(key)
-        carry, (xs, lps, elbos, accs) = segment(carry, sub)
+        # the final partial segment runs exactly the remaining steps
+        # (compiled once per distinct length — at most two lengths)
         k = min(check_every, niter - steps_done)
-        chain_parts.append(np.asarray(xs)[:k])
-        lp_parts.append(np.asarray(lps)[:k])
-        elbo_parts.append(np.asarray(elbos)[:k])
-        n_accept += int(np.asarray(accs)[:k].sum())
+        carry, (xs, lps, elbos, accs) = segment(carry, sub, k)
+        chain_parts.append(np.asarray(xs))
+        lp_parts.append(np.asarray(lps))
+        elbo_parts.append(np.asarray(elbos))
+        n_accept += int(np.asarray(accs).sum())
         steps_done += k
         if progress:
             print(f'step {steps_done}/{niter}  max logp='

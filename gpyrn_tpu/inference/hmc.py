@@ -229,7 +229,13 @@ def run_hmc(gprn, priors: Dict, n_samples: int = 500, n_warmup: int = 100,
 
             def chk(k, t):
                 inside = (k >= lo_s) & (k <= hi_s)
-                turn_k = _turning(z - ck_z[k], ck_r[k], r, m_inv)
+                # Hoffman-Gelman checks order endpoints by TRAJECTORY
+                # time: for a backward-built subtree the integration
+                # order is time-reversed, so the displacement must flip
+                # with the direction (a free-particle backward subtree
+                # otherwise reads dot(dz, r) < 0 and falsely "turns")
+                turn_k = _turning(direction * (z - ck_z[k]),
+                                  ck_r[k], r, m_inv)
                 return t | (inside & turn_k)
 
             turn_now = jax.lax.fori_loop(0, max_depth + 1, chk,
@@ -357,10 +363,13 @@ def run_hmc(gprn, priors: Dict, n_samples: int = 500, n_warmup: int = 100,
     key = jax.random.PRNGKey(seed)
     key, k1, k2 = jax.random.split(key, 3)
     m_inv = jnp.ones(ndim)
-    n1 = n_warmup if mass_matrix == "identity" else max(n_warmup // 2, 1)
-    z, lp, eps_bar, zs = jwarm(z, lp, m_inv, n1,
-                               jnp.asarray(float(initial_step)), k1)
-    zs2 = np.asarray(zs)[n1 // 2:].reshape(-1, ndim)
+    n1 = n_warmup if mass_matrix == "identity" else n_warmup // 2
+    eps_bar = jnp.asarray(float(initial_step))
+    if n1 > 0:
+        z, lp, eps_bar, zs = jwarm(z, lp, m_inv, n1, eps_bar, k1)
+        zs2 = np.asarray(zs)[n1 // 2:].reshape(-1, ndim)
+    else:       # n_warmup=0: no adaptation at all — sample at
+        zs2 = np.zeros((0, ndim))          # initial_step directly
     if mass_matrix == "diag" and n_warmup > 1 and zs2.shape[0] >= 50:
         # M⁻¹ = var(z) over phase-1's second half.  Only with enough
         # samples: a variance estimated from a barely-moved short chain

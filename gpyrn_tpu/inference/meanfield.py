@@ -456,7 +456,8 @@ class inference:
                 elbo, mu_out, var_out = refine_exact(
                     self, np.asarray(mu32, dtype=np.float64),
                     np.asarray(var32, dtype=np.float64),
-                    n_sweeps=self.refine_sweeps)
+                    n_sweeps=self.refine_sweeps,
+                    theta=np.asarray(theta, dtype=np.float64))
             else:
                 with self._refine_device_ctx():
                     elbo, mu_out, var_out = self.engine.elbo_refine(

@@ -117,16 +117,15 @@ def _scalar(a: DF, i) -> DF:
 
 
 def _split64(x) -> DF:
-    """Host float64 → DF (exact split, no x64 device ops)."""
-    x64 = np.asarray(x, dtype=np.float64)
-    hi = x64.astype(np.float32)
-    lo = (x64 - hi.astype(np.float64)).astype(np.float32)
-    return DF(jnp.asarray(hi), jnp.asarray(lo))
+    """Host float64 → DF (alias of ops.df64.from_f64 — ONE split
+    implementation package-wide)."""
+    from gpyrn_tpu.ops.df64 import from_f64
+    return from_f64(x)
 
 
 def _join64(a: DF) -> np.ndarray:
-    return (np.asarray(a.hi, dtype=np.float64)
-            + np.asarray(a.lo, dtype=np.float64))
+    from gpyrn_tpu.ops.df64 import to_f64
+    return to_f64(a)
 
 
 def _factors(L: DF, Linvs: DF, n: int, block: int) -> CholFactors:
@@ -471,11 +470,16 @@ def make_exact_engine(spec, block: int = DEFAULT_BLOCK) -> ExactEngine:
 
 
 def refine_exact(gprn, mu0, var0, n_sweeps: int = 3,
-                 block: int = DEFAULT_BLOCK):
+                 block: int = DEFAULT_BLOCK, theta=None):
     """df64 on-chip refine from a variational state: the drop-in
     replacement for the f64 ``elbo_refine`` polish of the mixed-precision
     fit (inference/meanfield.py).  Host-side prep (mean subtraction,
     float64 splitting) is O(N); all O(N³) work is jitted df64.
+
+    ``theta`` overrides the hyperparameter vector (reference-order
+    flat packing) — ELBOcalc's per-call component overrides must reach
+    the polish too, not just the f32 fit.  Default: the object's
+    stored components.
 
     Returns ``(elbo: float, mu: float64 (d,), var: float64 (d,))``."""
     from gpyrn_tpu.models import gprn as _core
@@ -485,8 +489,9 @@ def refine_exact(gprn, mu0, var0, n_sweeps: int = 3,
     spec = gprn.engine.spec
     eng = make_exact_engine(spec, block)
 
-    theta = _core.pack_parameters(gprn.nodes, gprn.weights, gprn.means,
-                                  gprn.jitters)
+    if theta is None:
+        theta = _core.pack_parameters(gprn.nodes, gprn.weights,
+                                      gprn.means, gprn.jitters)
     _, _, mean_p, jitters = _core.unpack_parameters(spec,
                                                     np.asarray(theta))
     t64 = np.asarray(gprn.time, dtype=np.float64)

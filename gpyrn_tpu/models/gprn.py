@@ -800,12 +800,18 @@ def make_engine(spec: GPRNSpec,
         per-count static scan (rare diagnostic use)."""
         def call(theta, t, y, yerr2, mu0, var0, n_sweeps):
             if isinstance(n_sweeps, (int, np.integer)):
+                if int(n_sweeps) < 1:
+                    raise ValueError("n_sweeps must be >= 1 (an "
+                                     "unswept ELBO is undefined)")
                 if int(n_sweeps) > MAX_SWEEPS:
                     return static_fn(theta, t, y, yerr2, mu0, var0,
                                      int(n_sweeps))
                 bucket = _bucket(int(n_sweeps))
             else:
-                bucket = MAX_SWEEPS     # traced count: worst-case bucket
+                # traced count (caller's own jit/vmap): the scan length
+                # cannot depend on the value — it is CLAMPED to
+                # MAX_SWEEPS.  Pass a concrete int for larger counts.
+                bucket = MAX_SWEEPS
             return masked_fn(theta, t, y, yerr2, mu0, var0, n_sweeps,
                              bucket)
         call.masked = masked_fn      # exposed for compile-count tests

@@ -191,11 +191,7 @@ def df64_kernel_matvec(structure, params, t, x, nugget=0.0,
     if not df_supported(structure):
         raise ValueError(f"structure {structure} not df64-supported")
 
-    def _host_split(a):
-        a64 = _np.asarray(a, _np.float64)
-        hi = a64.astype(_np.float32)
-        lo = (a64 - hi.astype(_np.float64)).astype(_np.float32)
-        return DF(jnp.asarray(hi), jnp.asarray(lo))
+    from gpyrn_tpu.ops.df64 import from_f64 as _host_split
 
     t_df = _host_split(t)                  # exact f64 times as df pairs
     p64 = _np.asarray(params, _np.float64)

@@ -125,7 +125,10 @@ def plot_prediction(gprn, nn: int = 1000, tstar=None, over: float = 0.2,
     for i in range(gprn.p - 1):
         for key in (f'pred{i + 1}', f'resid{i + 1}', f'd{i + 1}'):
             plt.setp(axs[key].get_xticklabels(), visible=False)
-    if gprn.p > 1 and f'pred{gprn.p}' in axs:
+    if gprn.p > 1:
+        # the reference also hides pred{p} via its leaked loop index
+        # (_plots.py:125-128; for p=1 that lookup KeyErrors and nothing
+        # is hidden — reproduced by the p>1 guard)
         plt.setp(axs[f'pred{gprn.p}'].get_xticklabels(), visible=False)
     for ax in axs.values():
         ax.axvspan(time[0], time[-1], color='k', alpha=0.05, zorder=-1)

@@ -122,3 +122,36 @@ def test_unsupported_kernel_raises(dataset2):
     assert not exact_refine_supported(gprn.engine.spec)
     with pytest.raises(ValueError, match="df64"):
         refine_exact(gprn, np.zeros(gprn.d), np.ones(gprn.d))
+
+
+def test_mixed_component_overrides_reach_df64_polish(dataset2):
+    """ELBOcalc(nodes', weights', ..., precision='mixed') must evaluate
+    the df64 polish at the OVERRIDE hyperparameters, not the stored
+    ones (the f64 branch always did; the df64 branch once re-packed
+    theta from the object)."""
+    t, data = dataset2
+    def build():
+        m = g.inference(1, t, *data)
+        m.set_components(g.covfunc.QuasiPeriodic(1.0, 15.0, 9.0, 0.7),
+                         [g.covfunc.SquaredExponential(1.0, 15.0),
+                          g.covfunc.Matern52(0.8, 10.0)],
+                         [None, None], [0.1, 0.1])
+        return m
+    # override: different node amplitude + jitters
+    nodes_o = [g.covfunc.QuasiPeriodic(1.4, 15.0, 9.0, 0.7)]
+    jit_o = [0.15, 0.2]
+
+    m_df = build()
+    m_df.refine_method = 'df64'
+    e_df, *_ = m_df.ELBOcalc(nodes=nodes_o, jitters=jit_o,
+                             precision='mixed')
+    m_64 = build()
+    m_64.refine_method = 'f64'
+    e_64, *_ = m_64.ELBOcalc(nodes=nodes_o, jitters=jit_o,
+                             precision='mixed')
+    assert e_df == pytest.approx(e_64, rel=5e-6)
+    # and both must differ from the non-override fit
+    m_plain = build()
+    m_plain.refine_method = 'f64'
+    e_plain, *_ = m_plain.ELBOcalc(precision='mixed')
+    assert abs(e_df - e_plain) > 1e-3 * abs(e_plain)
