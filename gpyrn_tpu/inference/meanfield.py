@@ -64,6 +64,13 @@ class inference:
         self.elbo_max_iter = 5000
         self.refine_sweeps = 3      # polish sweeps in mixed precision
         self.mixed_tol = 1e-4       # f32 state-convergence tolerance
+        self.mixed_stop = 'state'   # 'state'|'elbo': mixed-precision
+        # stopping rule.  'state' (default) iterates the f32 updates
+        # until max|Δμ|/(1+max|μ|) < mixed_tol — fastest, but a
+        # different contract from the reference; 'elbo' runs the f32
+        # fit under the REFERENCE rule (rel-std of the last 3 ELBO
+        # values < 1e-3, meanfield.py:640-646) so iteration semantics
+        # match reference scripts, then polishes as usual
         self.refine_method = 'auto'  # 'auto'|'df64'|'f64': how the
         # mixed-precision polish runs.  'df64' = blocked double-single
         # sweeps + exact ELBO terms ON the accelerator (f32 hardware
@@ -437,20 +444,30 @@ class inference:
             max_iter = 10000
 
         t_arr = np.asarray(self.time, dtype=float)
+        # past ~N=6k the batched lattice of kernel matrices no longer
+        # fits one chip's HBM — use the lean engines (kernels rebuilt
+        # per GP per sweep, identical update map and ELBO terms)
+        lean_after = int(os.environ.get("GPYRN_TPU_LEAN_N", "6000"))
+        lean = self.N >= lean_after
         if precision == 'mixed':
             # f32 updates-only fit with the EXACT reference nugget: the
             # (K + D)⁻¹ update solves are f32-safe, so this converges to
             # the true-model fixed point — only the ELBO terms need f64
             f32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.float32)  # noqa: E731
-            # past ~N=6k the batched lattice of kernel matrices no
-            # longer fits one chip's HBM — use the lean fit (kernels
-            # rebuilt per GP per sweep, identical update map)
-            lean_after = int(os.environ.get("GPYRN_TPU_LEAN_N", "6000"))
-            fit = self.engine.fit_state_lean if self.N >= lean_after \
-                else self.engine.fit_state
-            mu32, var32, n_iter, converged = fit(
-                f32(theta), f32(t_arr), f32(self.y), f32(self.yerr2),
-                f32(mu0), f32(var0), max_iter, self.mixed_tol)
+            f32_args = (f32(theta), f32(t_arr), f32(self.y),
+                        f32(self.yerr2), f32(mu0), f32(var0))
+            if self.mixed_stop == 'elbo':
+                # reference iteration semantics: f32 fit under the
+                # rel-std(3) < 1e-3 ELBO rule (Σ-free f32 terms)
+                fit = self.engine.elbo_fit_lean if lean \
+                    else self.engine.elbo_fit
+                _, mu32, var32, n_iter, converged, _ = fit(
+                    *f32_args, max_iter)
+            else:
+                fit = self.engine.fit_state_lean if lean \
+                    else self.engine.fit_state
+                mu32, var32, n_iter, converged = fit(
+                    *f32_args, max_iter, self.mixed_tol)
             if self._use_df64_refine():
                 from gpyrn_tpu.models.exact_blocked import refine_exact
                 elbo, mu_out, var_out = refine_exact(
@@ -459,8 +476,10 @@ class inference:
                     n_sweeps=self.refine_sweeps,
                     theta=np.asarray(theta, dtype=np.float64))
             else:
+                refine = self.engine.elbo_refine_lean if lean \
+                    else self.engine.elbo_refine
                 with self._refine_device_ctx():
-                    elbo, mu_out, var_out = self.engine.elbo_refine(
+                    elbo, mu_out, var_out = refine(
                         theta, t_arr, self.y, self.yerr2,
                         jnp.asarray(np.asarray(mu32), dtype=jnp.float64),
                         jnp.asarray(np.asarray(var32), dtype=jnp.float64),
@@ -469,9 +488,10 @@ class inference:
             hist_len = 1
             n_iter = int(n_iter) + self.refine_sweeps
         else:
-            elbo, mu_out, var_out, n_iter, converged, trace = \
-                self.engine.elbo_fit(
-                    theta, t_arr, self.y, self.yerr2, mu0, var0, max_iter)
+            fit = self.engine.elbo_fit_lean if lean \
+                else self.engine.elbo_fit
+            elbo, mu_out, var_out, n_iter, converged, trace = fit(
+                theta, t_arr, self.y, self.yerr2, mu0, var0, max_iter)
             hist_len = int(n_iter)
         elbo = float(elbo)
         mu_out = np.asarray(mu_out)

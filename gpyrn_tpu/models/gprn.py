@@ -46,7 +46,7 @@ from jax.scipy.linalg import cho_solve
 from gpyrn_tpu.ops import means as means_mod
 from gpyrn_tpu.ops.linalg import (PREDICT_NUGGET, TRAIN_NUGGET,
                                   cross_kernel_matrix, kernel_matrix,
-                                  kernel_matrix_plain, psd_jitter)
+                                  kernel_matrix_plain)
 
 __all__ = [
     "GPRNSpec", "spec_from_components", "pack_parameters",
@@ -173,6 +173,11 @@ class Engine(NamedTuple):
     fit_state_lean: Callable   # same signature; kernels rebuilt per GP
     #                          per sweep (peak ~3 N² buffers; the
     #                          single-chip N≈20k path)
+    elbo_fit_lean: Callable    # elbo_fit semantics (reference stopping
+    #                          rule + trace) with the per-GP lean sweep:
+    #                          the reference-semantics fit at N≈20k
+    elbo_refine_lean: Callable  # (theta, t, y, yerr2, mu, var,
+    #                          n_sweeps[static]) -> (elbo, mu, var)
     predict: Callable          # (theta, t, y, yerr2, mu, var, tstar)
     #                          -> (means, vars, node_pred, weight_pred)
     sweep_once: Callable       # single ELBOaux step (for tests/inspection)
@@ -304,85 +309,106 @@ def make_engine(spec: GPRNSpec,
         B = parts.transpose(1, 2, 0, 3).reshape(K.shape[0], N, Npad)
         return B[:, :, :N]
 
-    def _sweep(Kf, Kw_flat, L_all, y_c, y_raw, variance,
+    def _sweep(Kf, Kw_flat, L_all, Linv_nodes, y_c, y_raw, variance,
                muF, varF, muW, varW):
-        """One ELBOaux step, with all lattice linear algebra expressed as
-        a handful of LARGE batched ops (chol / triangular-solve batches of
-        q and q·p and q·(1+p) matrices) — the MXU-friendly layout, and it
-        keeps the compiled program small (important for emulated f64).
+        """One ELBOaux step, Σ-FREE: the posterior covariances
+        Σ = K − K A⁻¹ K (A = K + D⁻¹) are never materialized.  Every
+        Σ-dependent ELBO quantity comes through determinant/trace
+        identities on the well-conditioned A (proven in
+        models/exact_blocked.py, here ported into the main engine —
+        with B = L_A⁻¹ K, computed column-chunked and reduced in place):
+
+            μ          = K r − K A⁻¹ (K r)          (vector solves)
+            diag Σ     = diag K − column-norms²(B)
+            log det Σ  = log det K − log det A − log det D
+            tr(K⁻¹ Σ)  = tr(A⁻¹ D⁻¹) = Σⱼ Dⱼⱼ ‖(L_Aᵀ − B)₋ⱼ‖²
+                         (exact identity L_A⁻¹ D⁻¹ = L_Aᵀ − B)
+
+        so per sweep the linear algebra is a handful of LARGE batched
+        chol/triangular-solve ops (batches of q, q·p) — the MXU layout —
+        at ~N² live memory per lattice entry beyond K itself, which is
+        what lets the reference-semantics fit reach BASELINE config 5's
+        N=20k (round-2 verdict item 2).
 
         Shapes: Kf (q,N,N), Kw_flat (q·p,N,N) [index j·p+i],
-        L_all (q·(1+p),N,N) [chol of Kf ++ Kw_flat], y_* (p,N),
+        L_all (q·(1+p),N,N) [chol of Kf ++ Kw_flat], Linv_nodes
+        (q,N,N) [L_f⁻¹ per node; dummy (1,1,1) when q == 1], y_* (p,N),
         variance (p,N), muF/varF (q,N), muW/varW (p,q,N)."""
         qp = q * p
 
         # -- node update (eqs. 16-17) --
         dv = jnp.sum((muW * muW + varW) / variance[:, None, :], axis=0)
-        Af = Kf + vmap(jnp.diag)(1.0 / dv)
+        inv_dv = 1.0 / dv
+        Af = Kf + vmap(jnp.diag)(inv_dv)
         Laf = _chol_batched(Af)
-        # K A^{-1} K = B^T B with B = L^{-1} K
-        Bf = _trisolve_wide(Laf, Kf)
-        sigma_f = Kf - jnp.einsum("qki,qkj->qij", Bf, Bf)
         total = jnp.einsum("pqn,qn->pn", muW, muF)
         resid = (y_c[None, :, :] - total[None, :, :] +
                  muW.transpose(1, 0, 2) * muF[:, None, :])       # (q,p,N)
         pred = jnp.einsum("qpn,pqn->qn", resid,
                           muW / variance[:, None, :])
-        mu_f = jnp.einsum("qij,qj->qi", sigma_f, pred)
+        mu_f, dSf, cn_f = _sigma_apply_and_diag(Laf, Kf, pred,
+                                                want_trace=True)
 
         # -- weight update (eqs. 18-19); uses NEW mu_f, OLD muW --
-        dSf = jnp.diagonal(sigma_f, axis1=1, axis2=2)            # (q,N)
         dv2 = mu_f * mu_f + dSf                                  # (q,N)
         ratio = (variance[None, :, :] /
                  dv2[:, None, :]).reshape(qp, N)                 # (q·p,N)
         Aw = Kw_flat + vmap(jnp.diag)(ratio)
         Law = _chol_batched(Aw)
-        Bw = _trisolve_wide(Law, Kw_flat)
-        sigma_w = Kw_flat - jnp.einsum("aki,akj->aij", Bw, Bw)   # (q·p,N,N)
         total2 = jnp.einsum("pqn,qn->pn", muW, mu_f)
         resid2 = (y_c[None, :, :] - total2[None, :, :] +
                   muW.transpose(1, 0, 2) * mu_f[:, None, :])     # (q,p,N)
         pred2 = (resid2 * mu_f[:, None, :] /
                  variance[None, :, :]).reshape(qp, N)
-        mu_w_flat = jnp.einsum("aij,aj->ai", sigma_w, pred2)     # (q·p,N)
+        mu_w_flat, dSw, cn_w = _sigma_apply_and_diag(Law, Kw_flat, pred2,
+                                                     want_trace=True)
         mu_w = mu_w_flat.reshape(q, p, N).transpose(1, 0, 2)     # (p,q,N)
-        dSw = jnp.diagonal(sigma_w, axis1=1, axis2=2)            # (q·p,N)
         dSw_qp = dSw.reshape(q, p, N)
 
-        # -- entropy (meanfield.py:1069-1093): ONE chol batch over the
-        #    whole q·(1+p) lattice of posterior covariances --
-        sigma_all = jnp.concatenate([sigma_f, sigma_w], axis=0)
-        Ls_all = _chol_batched(psd_jitter(sigma_all))
-        ent = jnp.sum(jnp.log(jnp.diagonal(Ls_all, axis1=1, axis2=2)))
-        ent = ent + 0.5 * q * (p + 1) * N * (1 + jnp.log(2 * jnp.pi))
+        # -- entropy (meanfield.py:1069-1093): ½ Σ log det Σ by the
+        #    determinant identity — no Cholesky of Σ --
+        half_ldK = jnp.sum(jnp.log(jnp.diagonal(L_all, axis1=1, axis2=2)),
+                           axis=1)                               # (q·(1+p),)
+        ldA_f = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Laf, axis1=1, axis2=2)),
+                              axis=1)                            # (q,)
+        ldA_w = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Law, axis1=1, axis2=2)),
+                              axis=1)                            # (q·p,)
+        ldD_f = jnp.sum(jnp.log(dv), axis=1)                     # (q,)
+        ldD_w = -jnp.sum(jnp.log(ratio), axis=1)                 # (q·p,)
+        ldSig = (2.0 * half_ldK
+                 - jnp.concatenate([ldA_f, ldA_w])
+                 - jnp.concatenate([ldD_f, ldD_w]))
+        ent = 0.5 * jnp.sum(ldSig) \
+            + 0.5 * q * (p + 1) * N * (1 + jnp.log(2 * jnp.pi))
 
-        # -- expected log prior (meanfield.py:992-1067): batched solves
-        #    against the prefactored prior cholesky L_all --
-        logdet_all = jnp.sum(jnp.log(jnp.diagonal(L_all, axis1=1, axis2=2)),
-                             axis=1)                             # (q·(1+p),)
+        # -- expected log prior (meanfield.py:992-1067): batched vector
+        #    solves against the prefactored prior cholesky L_all --
         # reference quirk (meanfield.py:1021): the (p,q,N) weight means
         # enter the prior as a RAW flatten to (q·p, N)
         muW_prior = mu_w.reshape(qp, N)
         mu_all = jnp.concatenate([mu_f, muW_prior], axis=0)      # (q(1+p),N)
         alpha_all = vmap(lambda l, m: cho_solve((l, True), m))(L_all, mu_all)
         muKmu_all = jnp.einsum("an,an->a", mu_all, alpha_all)
+        # same-index traces by the tr(A⁻¹D⁻¹) identity
+        tr_f_same = jnp.sum(cn_f * dv, axis=1)                   # (q,)
+        tr_w = jnp.sum(cn_w / ratio, axis=1)                     # (q·p,)
         # reference quirk (meanfield.py:1039): node j's trace term uses
-        # the CUMULATIVE sum of sigma_f over nodes <= j
-        cum_sigma = jnp.cumsum(sigma_f, axis=0)
-        S_all = jnp.concatenate([cum_sigma, sigma_w], axis=0)
-        if N <= 2048 and _CHUNK_OVERRIDE is None:
-            tr_all = vmap(lambda l, s: jnp.trace(
-                cho_solve((l, True), s)))(L_all, S_all)
-        else:
-            # tr(K⁻¹S) = Σᵢⱼ (L⁻¹S)ᵢⱼ (L⁻¹)ᵢⱼ — two column-chunked wide
-            # solves instead of nested full-RHS cho_solves (bounds XLA's
-            # triangular-solve temp staging at large N; the extra
-            # identity solve isn't worth it at small N)
-            T1 = _trisolve_wide(L_all, S_all)
-            Linv = _trisolve_wide(L_all, jnp.broadcast_to(
-                jnp.eye(N, dtype=L_all.dtype), L_all.shape))
-            tr_all = jnp.einsum("bij,bij->b", T1, Linv)
-        logp = jnp.sum(-logdet_all - 0.5 * (muKmu_all + tr_all)) \
+        # the CUMULATIVE sum of sigma_f over nodes <= j.  Cross terms
+        # tr(K_j⁻¹ Σ_k), k < j, via Woodbury
+        # Σ_k = D_k⁻¹ − D_k⁻¹ A_k⁻¹ D_k⁻¹ (cf. exact_blocked.py:414):
+        #   tr(K_j⁻¹ Σ_k) = Σₙ diag(K_j⁻¹)ₙ/dvₖₙ − ‖L_Ak⁻¹ D_k⁻¹ L_j⁻ᵀ‖²
+        tr_f_rows = [tr_f_same[j] for j in range(q)]
+        if q > 1:
+            diag_Kinv = jnp.sum(Linv_nodes * Linv_nodes, axis=1)  # (q,N)
+            for j in range(1, q):
+                for k in range(j):
+                    term1 = jnp.sum(diag_Kinv[j] * inv_dv[k])
+                    T = Linv_nodes[j] * inv_dv[k][None, :]       # (N,N)
+                    W = _trisolve_wide(Laf[k:k + 1], T.T[None])
+                    tr_f_rows[j] = tr_f_rows[j] + term1 - jnp.sum(W * W)
+        tr_f = jnp.stack(tr_f_rows)
+        tr_all = jnp.concatenate([tr_f, tr_w])
+        logp = jnp.sum(-half_ldK - 0.5 * (muKmu_all + tr_all)) \
             - 0.5 * N * q * (p + 1) * jnp.log(2 * jnp.pi)
 
         # -- expected log likelihood (meanfield.py:895-990) --
@@ -410,13 +436,19 @@ def make_engine(spec: GPRNSpec,
         2048, ((N + 127) // 128) * 128,
         max(128, (15_000_000 // max(N, 1)) // 128 * 128))
 
-    def _sigma_apply_and_diag(L, K, rhs):
+    def _sigma_apply_and_diag(L, K, rhs, want_trace: bool = False):
         """Given chol L of A = K + D⁻¹ and a batch of matrices K with
-        vectors rhs: return (Σ @ rhs, diag Σ) for Σ = K − K A⁻¹ K,
-        WITHOUT materializing Σ or the full N×N triangular solve.
+        vectors rhs: return (Σ @ rhs, diag Σ[, trace column-norms]) for
+        Σ = K − K A⁻¹ K, WITHOUT materializing Σ or the full N×N
+        triangular solve.
 
         Σ rhs = K rhs − K (A⁻¹ (K rhs)) — vector solves only;
-        diag Σ = diag K − Σ_cols |L⁻¹ K|², column-chunked."""
+        diag Σ = diag K − Σ_cols |L⁻¹ K|², column-chunked.
+
+        With ``want_trace``, the same chunked pass also reduces the
+        column norms² of (Lᵀ − B), B = L⁻¹K — since L⁻¹D⁻¹ = Lᵀ − B
+        exactly, weighting them by diag(D) gives tr(K⁻¹Σ) = tr(A⁻¹D⁻¹)
+        (the exact_blocked.py:23-28 identity) with no extra solve."""
         Krhs = jnp.einsum("bij,bj->bi", K, rhs)
         t1 = vmap(lambda l, v: cho_solve((l, True), v))(L, Krhs)
         sig_rhs = Krhs - jnp.einsum("bij,bj->bi", K, t1)
@@ -425,17 +457,30 @@ def make_engine(spec: GPRNSpec,
         n_chunks = (N + C - 1) // C
         Npad = n_chunks * C
         K_pad = jnp.pad(K, ((0, 0), (0, 0), (0, Npad - N)))
+        if want_trace:
+            L_pad = jnp.pad(L, ((0, 0), (0, Npad - N), (0, 0)))
 
         def chunk(carry, k):
             cols = lax.dynamic_slice_in_dim(K_pad, k * C, C, axis=2)
             S = _trisolve(L, cols)                  # (b, N, C)
-            return carry, jnp.sum(S * S, axis=1)    # (b, C)
+            if not want_trace:
+                return carry, (jnp.sum(S * S, axis=1),)
+            rows = lax.dynamic_slice_in_dim(L_pad, k * C, C, axis=1)
+            M = rows.transpose(0, 2, 1) - S         # (Lᵀ − B) cols (b,N,C)
+            return carry, (jnp.sum(S * S, axis=1),
+                           jnp.sum(M * M, axis=1))  # each (b, C)
 
         _, parts = lax.scan(chunk, 0, jnp.arange(n_chunks))
-        # parts: (n_chunks, b, C) -> (b, Npad)
-        quad_diag = parts.transpose(1, 0, 2).reshape(K.shape[0], Npad)[:, :N]
+
+        def _restitch(x):
+            # (n_chunks, b, C) -> (b, Npad) -> (b, N)
+            return x.transpose(1, 0, 2).reshape(K.shape[0], Npad)[:, :N]
+
+        quad_diag = _restitch(parts[0])
         d_sig = jnp.diagonal(K, axis1=1, axis2=2) - quad_diag
-        return sig_rhs, d_sig
+        if not want_trace:
+            return sig_rhs, d_sig
+        return sig_rhs, d_sig, _restitch(parts[1])
 
     def _sweep_updates(Kf, Kw_flat, y_c, variance, muF, varF, muW, varW):
         """The coordinate-ascent UPDATES alone (eqs. 16-19) — no ELBO
@@ -568,6 +613,268 @@ def make_engine(spec: GPRNSpec,
         dSw = dSw_flat.reshape(q, p, N)
         return mu_f, dSf, mu_w, dSw.transpose(1, 0, 2)
 
+    def _grouped_map(structs, params, fn, arg_lists):
+        """Apply a per-GP function over a list of GPs, batching
+        same-structure GPs through ``lax.map`` (the map body's buffers
+        are reused across iterations by construction — see
+        `_grouped_updates`).  ``fn(structure, core_params, *args)``
+        must return a tuple of arrays with shapes independent of the
+        GP; returns that tuple with each element stacked over GPs."""
+        n_gp = len(structs)
+        rows = [None] * n_gp
+        groups = {}
+        for a, s in enumerate(structs):
+            groups.setdefault(s, []).append(a)
+        for s, idxs in groups.items():
+            if len(idxs) == 1:
+                a = idxs[0]
+                rows[a] = fn(s, params[a], *arg_lists[a])
+                continue
+            cp = jnp.stack([jnp.asarray(params[a]) for a in idxs])
+            stacked = [jnp.stack([arg_lists[a][k] for a in idxs])
+                       for k in range(len(arg_lists[idxs[0]]))]
+            outs = lax.map(
+                lambda packed, s=s: fn(s, packed[0], *packed[1:]),
+                (cp, *stacked))
+            for jj, a in enumerate(idxs):
+                rows[a] = tuple(o[jj] for o in outs)
+        n_out = len(rows[0])
+        return tuple(jnp.stack([r[k] for r in rows])
+                     for k in range(n_out))
+
+    def _gp_diag_trace(L_A, K):
+        """Column-chunked (diag Σ, trace column-norms) for ONE GP:
+        diag Σ = diag K − Σ_cols |L_A⁻¹K|² and cn = colnorms²(L_Aᵀ − B)
+        — the single-matrix version of `_sigma_apply_and_diag`'s
+        chunk pass (peak O(N·C) temps)."""
+        C = DIAG_CHUNK
+        n_chunks = (N + C - 1) // C
+        Npad = n_chunks * C
+        K_pad = jnp.pad(K, ((0, 0), (0, Npad - N)))
+        L_pad = jnp.pad(L_A, ((0, Npad - N), (0, 0)))
+
+        def chunk(carry, k):
+            cols = lax.dynamic_slice_in_dim(K_pad, k * C, C, axis=1)
+            S = lax.linalg.triangular_solve(L_A, cols, left_side=True,
+                                            lower=True)     # (N, C)
+            rows = lax.dynamic_slice_in_dim(L_pad, k * C, C, axis=0)
+            M = rows.T - S
+            return carry, (jnp.sum(S * S, axis=0), jnp.sum(M * M, axis=0))
+
+        _, parts = lax.scan(chunk, 0, jnp.arange(n_chunks))
+        dS = jnp.diagonal(K) - parts[0].reshape(Npad)[:N]
+        cn = parts[1].reshape(Npad)[:N]
+        return dS, cn
+
+    def _sweep_free_lean(theta, t, y_c, y_raw, variance,
+                         muF, varF, muW, varW):
+        """One reference-semantics ELBOaux step with per-GP sequential
+        processing and in-sweep kernel rebuilds: the Σ-free analog of
+        `_sweep` built like `_sweep_updates_lean` — each GP's K, prior
+        Cholesky and update factor live only inside its own iteration
+        (~4 N² peak regardless of q·p), which is what lets the FULL
+        reference fit (ELBO stopping rule + per-sweep terms,
+        meanfield.py:634-647) run at BASELINE config 5's N=20k on one
+        chip.  Same determinant/trace identities as `_sweep`."""
+        node_p, weight_p, _, _ = unpack_parameters(spec, theta)
+        node_c = _core(node_p, node_maps)
+        weight_c = _core(weight_p, weight_maps)
+        qp = q * p
+        idx = jnp.arange(N)
+
+        def gp_free(structure, cp, c_diag, pred_vec):
+            """Update + per-GP ELBO ingredients (Σ-free).  ``c_diag``
+            is the D⁻¹ diagonal added to K.  Uses the elbo-path
+            `kernel_matrix` (exact reference nugget in f64)."""
+            K = kernel_matrix(structure, cp, t, TRAIN_NUGGET)
+            L_K = jnp.linalg.cholesky(K)
+            ldK_half = jnp.sum(jnp.log(jnp.diagonal(L_K)))
+            A = K.at[idx, idx].add(c_diag)
+            L_A = jnp.linalg.cholesky(A)
+            ldA = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_A)))
+            Krhs = K @ pred_vec
+            t1 = cho_solve((L_A, True), Krhs)
+            mu = Krhs - K @ t1
+            dS, cn = _gp_diag_trace(L_A, K)
+            # μᵀK⁻¹μ with the POST-update mean (terms are evaluated at
+            # the post-sweep state) — the correct pairing for nodes
+            # always and for weights when q == 1 (the raw (p,q,N)
+            # flatten is the identity there); q > 1 weights are
+            # re-paired in a second pass below
+            alpha = cho_solve((L_K, True), mu)
+            muKmu = jnp.dot(mu, alpha)
+            if q > 1:
+                # extras for the cumulative-sumSigmaF cross traces
+                Linv = _tri_inv_chunked(L_K)
+                return mu, dS, cn, ldK_half, ldA, muKmu, L_A, Linv
+            return mu, dS, cn, ldK_half, ldA, muKmu
+
+        def _tri_inv_chunked(L):
+            """L⁻¹ via column-chunked triangular solves (bounds XLA's
+            full-RHS temp staging)."""
+            C = DIAG_CHUNK
+            n_chunks = (N + C - 1) // C
+            Npad = n_chunks * C
+            eyeN = jnp.eye(N, Npad, dtype=L.dtype)
+
+            def chunk(carry, k):
+                cols = lax.dynamic_slice_in_dim(eyeN, k * C, C, axis=1)
+                return carry, lax.linalg.triangular_solve(
+                    L, cols, left_side=True, lower=True)    # (N, C)
+
+            _, parts = lax.scan(chunk, 0, jnp.arange(n_chunks))
+            return parts.transpose(1, 0, 2).reshape(N, Npad)[:, :N]
+
+        # -- node stage --
+        dv = jnp.sum((muW * muW + varW) / variance[:, None, :], axis=0)
+        inv_dv = 1.0 / dv
+        total = jnp.einsum("pqn,qn->pn", muW, muF)
+        resid = (y_c[None, :, :] - total[None, :, :] +
+                 muW.transpose(1, 0, 2) * muF[:, None, :])
+        pred = jnp.einsum("qpn,pqn->qn", resid,
+                          muW / variance[:, None, :])
+        node_out = _grouped_map(
+            list(spec.node_structs), node_c, gp_free,
+            [[inv_dv[j], pred[j]] for j in range(q)])
+        mu_f, dSf, cn_f, ldKh_f, ldA_f, muKmu_f = node_out[:6]
+
+        # -- weight stage (fresh mu_f, pre-sweep muW) --
+        dv2 = mu_f * mu_f + dSf
+        ratio = (variance[None, :, :] /
+                 dv2[:, None, :]).reshape(qp, N)
+        total2 = jnp.einsum("pqn,qn->pn", muW, mu_f)
+        resid2 = (y_c[None, :, :] - total2[None, :, :] +
+                  muW.transpose(1, 0, 2) * mu_f[:, None, :])
+        pred2 = (resid2 * mu_f[:, None, :] /
+                 variance[None, :, :]).reshape(qp, N)
+        weight_out = _grouped_map(
+            list(spec.weight_structs), weight_c, gp_free,
+            [[ratio[a], pred2[a]] for a in range(qp)])
+        mu_w_flat, dSw, cn_w, ldKh_w, ldA_w, muKmu_w = weight_out[:6]
+        mu_w = mu_w_flat.reshape(q, p, N).transpose(1, 0, 2)     # (p,q,N)
+        dSw_qp = dSw.reshape(q, p, N)
+
+        if q > 1:
+            # reference quirk (meanfield.py:1021): weight means enter
+            # the prior RAW-flattened (p,q,N)→(q·p,N), pairing row a
+            # with weight GP a's kernel — recompute μᵀK⁻¹μ with the
+            # scrambled partner (second rebuild pass; q>1 only)
+            muW_prior = mu_w.reshape(qp, N)
+
+            def gp_muKmu(structure, cp, mvec):
+                K = kernel_matrix(structure, cp, t, TRAIN_NUGGET)
+                L_K = jnp.linalg.cholesky(K)
+                alpha = cho_solve((L_K, True), mvec)
+                return (jnp.dot(mvec, alpha),)
+
+            (muKmu_w,) = _grouped_map(
+                list(spec.weight_structs), weight_c, gp_muKmu,
+                [[muW_prior[a]] for a in range(qp)])
+
+        # -- entropy: ½ Σ log det Σ via the determinant identity --
+        ldD_f = jnp.sum(jnp.log(dv), axis=1)
+        ldD_w = -jnp.sum(jnp.log(ratio), axis=1)
+        ldKh = jnp.concatenate([ldKh_f, ldKh_w])
+        ldSig = (2.0 * ldKh
+                 - jnp.concatenate([ldA_f, ldA_w])
+                 - jnp.concatenate([ldD_f, ldD_w]))
+        ent = 0.5 * jnp.sum(ldSig) \
+            + 0.5 * q * (p + 1) * N * (1 + jnp.log(2 * jnp.pi))
+
+        # -- expected log prior --
+        tr_f_rows = [jnp.sum(cn_f[j] * dv[j]) for j in range(q)]
+        if q > 1:
+            L_Af, Linv_nodes = node_out[6], node_out[7]
+            diag_Kinv = jnp.sum(Linv_nodes * Linv_nodes, axis=1)
+            for j in range(1, q):
+                for k in range(j):
+                    term1 = jnp.sum(diag_Kinv[j] * inv_dv[k])
+                    T = Linv_nodes[j] * inv_dv[k][None, :]
+                    W = _trisolve_wide(L_Af[k:k + 1], T.T[None])
+                    tr_f_rows[j] = tr_f_rows[j] + term1 - jnp.sum(W * W)
+        tr_f = jnp.stack(tr_f_rows)
+        tr_w = jnp.sum(cn_w / ratio, axis=1)
+        muKmu_all = jnp.concatenate([muKmu_f, muKmu_w])
+        tr_all = jnp.concatenate([tr_f, tr_w])
+        logp = jnp.sum(-ldKh - 0.5 * (muKmu_all + tr_all)) \
+            - 0.5 * N * q * (p + 1) * jnp.log(2 * jnp.pi)
+
+        # -- expected log likelihood (raw-y quirk, meanfield.py:940) --
+        logl = -0.5 * jnp.sum(jnp.log(2 * jnp.pi * variance))
+        omega_nu = jnp.einsum("pqn,qn->pn", mu_w, mu_f)
+        res = y_raw - omega_nu
+        logl = logl - 0.5 * jnp.sum(res * res / variance)
+        quad = (dSf[:, None, :] * (mu_w.transpose(1, 0, 2) ** 2) +
+                dSw_qp * (mu_f[:, None, :] ** 2) +
+                dSf[:, None, :] * dSw_qp) / variance[None, :, :]
+        logl = logl - 0.5 * jnp.sum(quad)
+
+        elbo = (logl + logp + ent) / q
+        return elbo, mu_f, dSf, mu_w, dSw_qp.transpose(1, 0, 2)
+
+    def _prepare_lean(theta, t, y, yerr2):
+        _, _, _, jitters = unpack_parameters(spec, theta)
+        m = _mean_values(theta, t)
+        y_raw = jnp.asarray(y)
+        y_c = y_raw - m
+        variance = jitters[:, None] ** 2 + jnp.asarray(yerr2)
+        return y_c, y_raw, variance
+
+    def elbo_fit_lean(theta, t, y, yerr2, mu0, var0, max_iter=10000):
+        """`elbo_fit` (reference stopping rule + ELBO trace) with the
+        memory-lean per-GP sweep — the reference-semantics fit for N in
+        the tens of thousands (BASELINE config 5 upper end)."""
+        y_c, y_raw, variance = _prepare_lean(theta, t, y, yerr2)
+        muF0, muW0 = _u_split(jnp.asarray(mu0).ravel())
+        varF0, varW0 = _u_split(jnp.asarray(var0).ravel())
+
+        def body(state):
+            muF, varF, muW, varW, _, hist, trace, it, done = state
+            elbo, mu_f, varf, mu_w, varw = _sweep_free_lean(
+                theta, t, y_c, y_raw, variance, muF, varF, muW, varW)
+            hist = jnp.concatenate([hist[1:], jnp.array([elbo])])
+            trace = lax.dynamic_update_index_in_dim(
+                trace, elbo, jnp.minimum(it, TRACE_LEN - 1), 0)
+            it = it + 1
+            mean3 = jnp.mean(hist)
+            crit = jnp.abs(jnp.std(hist) / mean3)
+            done = (it > 3) & (crit < 1e-3) & (crit != 0)
+            return mu_f, varf, mu_w, varw, elbo, hist, trace, it, done
+
+        def cond(state):
+            *_, it, done = state
+            return (~done) & (it < max_iter)
+
+        init = (muF0, varF0, muW0, varW0, jnp.array(0.0, muF0.dtype),
+                jnp.full(3, jnp.inf, dtype=muF0.dtype),
+                jnp.full(TRACE_LEN, jnp.nan, dtype=muF0.dtype),
+                jnp.array(0, jnp.int32), jnp.array(False))
+        muF, varF, muW, varW, elbo, _, trace, it, done = lax.while_loop(
+            cond, body, init)
+        mu = jnp.concatenate([muF.ravel(), muW.ravel()])
+        var = jnp.concatenate([varF.ravel(), varW.ravel()])
+        return elbo, mu, var, it, done, trace
+
+    def elbo_refine_lean(theta, t, y, yerr2, mu0, var0, n_sweeps: int):
+        """Fixed-count lean sweeps + ELBO at the final state: the
+        memory-lean `elbo_refine` (static sweep count — the polish is
+        a small fixed number, typically 3)."""
+        y_c, y_raw, variance = _prepare_lean(theta, t, y, yerr2)
+        muF0, muW0 = _u_split(jnp.asarray(mu0).ravel())
+        varF0, varW0 = _u_split(jnp.asarray(var0).ravel())
+
+        def step(carry, _):
+            muF, varF, muW, varW = carry
+            elbo, mu_f, varf, mu_w, varw = _sweep_free_lean(
+                theta, t, y_c, y_raw, variance, muF, varF, muW, varW)
+            return (mu_f, varf, mu_w, varw), elbo
+
+        (muF, varF, muW, varW), elbos = lax.scan(
+            step, (muF0, varF0, muW0, varW0), None, length=n_sweeps)
+        mu = jnp.concatenate([muF.ravel(), muW.ravel()])
+        var = jnp.concatenate([varF.ravel(), varW.ravel()])
+        return elbos[-1], mu, var
+
     def fit_state_lean(theta, t, y, yerr2, mu0, var0, max_iter, tol):
         """Memory-lean `fit_state`: identical update map, but the
         kernel lattice is never materialized — each GP's K is rebuilt
@@ -657,18 +964,25 @@ def make_engine(spec: GPRNSpec,
         Kf, Kw_flat, jitters = _build_matrices(theta, t)
         # ONE batched Cholesky of the whole q·(1+p) prior lattice
         L_all = _chol_batched(jnp.concatenate([Kf, Kw_flat], axis=0))
+        if q > 1:
+            # L_f⁻¹ per node, for the cumulative-sumSigmaF cross traces
+            # (reference meanfield.py:1039) — per-refine constant
+            Linv_nodes = _trisolve_wide(L_all[:q], jnp.broadcast_to(
+                jnp.eye(N, dtype=L_all.dtype), (q, N, N)))
+        else:
+            Linv_nodes = jnp.zeros((1, 1, 1), dtype=L_all.dtype)
         m = _mean_values(theta, t)
         y = jnp.asarray(y)
         y_c = y - m
         variance = jitters[:, None] ** 2 + jnp.asarray(yerr2)
-        return Kf, Kw_flat, L_all, y_c, y, variance
+        return Kf, Kw_flat, L_all, Linv_nodes, y_c, y, variance
 
     # fixed-size per-iteration ELBO trace buffer (convergence diagnostics;
     # the reference kept an unbounded Python-side elboArray, :628-637)
     TRACE_LEN = 10000
 
     def elbo_fit(theta, t, y, yerr2, mu0, var0, max_iter=10000):
-        Kf, Kw_flat, L_all, y_c, y_raw, variance = _prepare(
+        Kf, Kw_flat, L_all, Linv_nodes, y_c, y_raw, variance = _prepare(
             theta, t, y, yerr2)
         muF0, muW0 = _u_split(jnp.asarray(mu0).ravel())
         varF0, varW0 = _u_split(jnp.asarray(var0).ravel())
@@ -676,7 +990,7 @@ def make_engine(spec: GPRNSpec,
         def body(state):
             muF, varF, muW, varW, _, hist, trace, it, done = state
             elbo, mu_f, varf, mu_w, varw = _sweep(
-                Kf, Kw_flat, L_all, y_c, y_raw, variance,
+                Kf, Kw_flat, L_all, Linv_nodes, y_c, y_raw, variance,
                 muF, varF, muW, varW)
             hist = jnp.concatenate([hist[1:], jnp.array([elbo])])
             trace = lax.dynamic_update_index_in_dim(
@@ -703,12 +1017,13 @@ def make_engine(spec: GPRNSpec,
 
     def sweep_once(theta, t, y, yerr2, mu0, var0):
         """Single ELBOaux step (reference meanfield.py:651-710)."""
-        Kf, Kw_flat, L_all, y_c, y_raw, variance = _prepare(
+        Kf, Kw_flat, L_all, Linv_nodes, y_c, y_raw, variance = _prepare(
             theta, t, y, yerr2)
         muF, muW = _u_split(jnp.asarray(mu0).ravel())
         varF, varW = _u_split(jnp.asarray(var0).ravel())
         elbo, mu_f, varf, mu_w, varw = _sweep(
-            Kf, Kw_flat, L_all, y_c, y_raw, variance, muF, varF, muW, varW)
+            Kf, Kw_flat, L_all, Linv_nodes, y_c, y_raw, variance,
+            muF, varF, muW, varW)
         mu = jnp.concatenate([mu_f.ravel(), mu_w.ravel()])
         var = jnp.concatenate([varf.ravel(), varw.ravel()])
         return elbo, mu, var
@@ -724,7 +1039,7 @@ def make_engine(spec: GPRNSpec,
         scan length, rounded up to a power of two by the dispatcher —
         one compilation per (structure, bucket) instead of one per
         sweep count, with the no-op tail bounded at <2×."""
-        Kf, Kw_flat, L_all, y_c, y_raw, variance = _prepare(
+        Kf, Kw_flat, L_all, Linv_nodes, y_c, y_raw, variance = _prepare(
             theta, t, y, yerr2)
         muF0, muW0 = _u_split(jnp.asarray(mu0).ravel())
         varF0, varW0 = _u_split(jnp.asarray(var0).ravel())
@@ -734,7 +1049,7 @@ def make_engine(spec: GPRNSpec,
             def do(c):
                 muF, varF, muW, varW, _ = c
                 elbo, mu_f, varf, mu_w, varw = _sweep(
-                    Kf, Kw_flat, L_all, y_c, y_raw, variance,
+                    Kf, Kw_flat, L_all, Linv_nodes, y_c, y_raw, variance,
                     muF, varF, muW, varW)
                 return (mu_f, varf, mu_w, varw, elbo)
 
@@ -749,7 +1064,7 @@ def make_engine(spec: GPRNSpec,
     def _static_sweeps(theta, t, y, yerr2, mu0, var0, n_sweeps: int):
         """Fixed-length scan for sweep counts above ``MAX_SWEEPS``
         (compiled per count — rare diagnostic use)."""
-        Kf, Kw_flat, L_all, y_c, y_raw, variance = _prepare(
+        Kf, Kw_flat, L_all, Linv_nodes, y_c, y_raw, variance = _prepare(
             theta, t, y, yerr2)
         muF0, muW0 = _u_split(jnp.asarray(mu0).ravel())
         varF0, varW0 = _u_split(jnp.asarray(var0).ravel())
@@ -757,7 +1072,7 @@ def make_engine(spec: GPRNSpec,
         def step(carry, _):
             muF, varF, muW, varW = carry
             elbo, mu_f, varf, mu_w, varw = _sweep(
-                Kf, Kw_flat, L_all, y_c, y_raw, variance,
+                Kf, Kw_flat, L_all, Linv_nodes, y_c, y_raw, variance,
                 muF, varF, muW, varW)
             return (mu_f, varf, mu_w, varw), elbo
 
@@ -901,6 +1216,8 @@ def make_engine(spec: GPRNSpec,
             jit(_elbo_refine_static, static_argnums=(6,))),
         fit_state=jit(fit_state),
         fit_state_lean=jit(fit_state_lean),
+        elbo_fit_lean=jit(elbo_fit_lean),
+        elbo_refine_lean=jit(elbo_refine_lean, static_argnums=(6,)),
         predict=jit(predict),
         sweep_once=jit(sweep_once),
     )
