@@ -58,7 +58,8 @@ from gpyrn_tpu.ops.df64_blocked import (DEFAULT_BLOCK, CholFactors,
                                         df_tri_solve_blocked,
                                         df_tri_solve_t_blocked)
 from gpyrn_tpu.ops.df64_gemm import df64_matvec
-from gpyrn_tpu.ops.df64_kernels import _c, _evaluate, df_supported
+from gpyrn_tpu.ops.df64_kernels import (_c, _evaluate, df_nonstationary,
+                                        df_supported)
 from gpyrn_tpu.ops.df64_math import df_log
 from gpyrn_tpu.ops.linalg import TRAIN_NUGGET
 
@@ -263,13 +264,20 @@ def make_exact_engine(spec, block: int = DEFAULT_BLOCK) -> ExactEngine:
         """Assemble the kernel lattice in df64, factor the priors, and
         precompute per-refine constants."""
         node_p, weight_p = _unpack(theta)
-        r = df_sub(DF(t.hi[:, None], t.lo[:, None]),
-                   DF(t.hi[None, :], t.lo[None, :]))
+        t1 = DF(t.hi[:, None], t.lo[:, None])
+        t2 = DF(t.hi[None, :], t.lo[None, :])
+        r = df_sub(t1, t2)
         eye = jnp.eye(N, dtype=jnp.float32)
         nugI = DF(nug.hi * eye, nug.lo * eye)
 
         def kmat(s, pars):
-            return df_add(_evaluate(s, pars, r), nugI)
+            grids = (t1, t2) if df_nonstationary(s) else (None, None)
+            K = _evaluate(s, pars, r, *grids)
+            if s[0] in ("HP", "QHP", "POLY"):
+                # reference quirk: no nugget for top-level HP/QHP/POLY
+                # (meanfield.py:426-433; matches ops/linalg.kernel_matrix)
+                return K
+            return df_add(K, nugI)
 
         Kf = _stack([kmat(s, pp)
                      for s, pp in zip(spec.node_structs, node_p)])

@@ -107,7 +107,14 @@ def df_log(a: DF) -> DF:
     extraction (exact), Newton-iterate y ← y + m·e^(−y) − 1 on the
     mantissa (e^(−y) stays in (0.5, 1], so the low word never
     underflows — iterating on a directly loses it to f32 subnormals for
-    |log a| ≳ 60), and add back q·ln2."""
+    |log a| ≳ 60), and add back q·ln2.
+
+    ONE Newton step suffices: the f32 starter has ~24 correct bits and
+    convergence is quadratic, so one step lands at the ~48-bit df64
+    limit (measured: 1e-14 rel on kernel matrices).  Keeping it to one
+    also bounds the compiled graph — two sibling pow/log chains in one
+    kernel (e.g. NewRQP) drove XLA:CPU's simplifier superlinear and
+    blew a 4 s compile up past 6 minutes."""
     import jax
     hi = jnp.maximum(a.hi, jnp.finfo(jnp.float32).tiny)
     bits = jax.lax.bitcast_convert_type(hi, jnp.int32)
@@ -118,10 +125,8 @@ def df_log(a: DF) -> DF:
     m = DF(hi * s1 * s2, a.lo * s1 * s2)      # in [1, 2), exact rescale
     y = df(jnp.log(m.hi))
     one = df(jnp.ones_like(y.hi))
-    for _ in range(2):
-        e = df_exp(df_neg(y))
-        corr = df_sub(df_mul(m, e), one)
-        y = df_add(y, corr)
+    e = df_exp(df_neg(y))
+    y = df_add(y, df_sub(df_mul(m, e), one))
     return df_add(y, df_mul(df(q.astype(jnp.float32)), LN2))
 
 

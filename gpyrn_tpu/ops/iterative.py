@@ -205,12 +205,17 @@ def df64_kernel_matvec(structure, params, t, x, nugget=0.0,
     th_pad = jnp.pad(t_df.hi, (0, Np - N), constant_values=far)
     tl_pad = jnp.pad(t_df.lo, (0, Np - N))
 
+    from gpyrn_tpu.ops.df64_kernels import df_nonstationary
+    nonstat = df_nonstationary(structure)
+
     def one_chunk(carry, k):
         rh = lax.dynamic_slice_in_dim(th_pad, k * C, C)
         rl = lax.dynamic_slice_in_dim(tl_pad, k * C, C)
-        r = df_sub(DF(rh[:, None], rl[:, None]),
-                   DF(t_df.hi[None, :], t_df.lo[None, :]))
-        Kb = _evaluate(structure, params_df, r)
+        t1 = DF(rh[:, None], rl[:, None])
+        t2 = DF(t_df.hi[None, :], t_df.lo[None, :])
+        r = df_sub(t1, t2)
+        Kb = _evaluate(structure, params_df, r,
+                       *((t1, t2) if nonstat else (None, None)))
         prod = df_mul(Kb, DF(x_df.hi[None, :], x_df.lo[None, :]))
         s = df_sum(prod, axis=1)
         return carry, (s.hi, s.lo)

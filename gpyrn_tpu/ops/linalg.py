@@ -81,13 +81,23 @@ def kernel_matrix(structure, params, t, nugget=TRAIN_NUGGET):
     loop (reference meanfield.py:25-60)."""
     t = jnp.asarray(t)
     if _k.is_nonstationary(structure):
-        return _k.evaluate(structure, params, t1=t[:, None], t2=t[None, :])
-    if _use_pallas(structure, t):
-        from gpyrn_tpu.ops.pallas_kernels import pallas_kernel_matrix
-        return pallas_kernel_matrix(structure, jnp.asarray(params), t,
-                                    nugget, F32_JITTER_MULT)
-    r = t[:, None] - t[None, :]
-    K = _k.evaluate(structure, params, r=r)
+        # pass the lag too: composites can mix non-stationary and
+        # stationary kernels (e.g. SE + LIN·C), and the stationary
+        # children evaluate on r.  Reference quirk preserved: a
+        # TOP-LEVEL HP/QHP/POLY kernel gets NO nugget (the reference's
+        # isinstance dispatch, meanfield.py:426-433, returns the raw
+        # matrix for exactly those three); composites and LIN — which
+        # the reference cannot evaluate at all — get the standard one.
+        K = _k.evaluate(structure, params, r=t[:, None] - t[None, :],
+                        t1=t[:, None], t2=t[None, :])
+        if structure[0] in ("HP", "QHP", "POLY"):
+            return K
+    else:
+        if _use_pallas(structure, t):
+            from gpyrn_tpu.ops.pallas_kernels import pallas_kernel_matrix
+            return pallas_kernel_matrix(structure, jnp.asarray(params), t,
+                                        nugget, F32_JITTER_MULT)
+        K = _k.evaluate(structure, params, r=t[:, None] - t[None, :])
     eps = jnp.finfo(K.dtype).eps
     jitter = jnp.maximum(jnp.asarray(nugget, dtype=K.dtype),
                          F32_JITTER_MULT * eps * jnp.trace(K))
@@ -102,7 +112,14 @@ def kernel_matrix_plain(structure, params, t, nugget=TRAIN_NUGGET):
     to the true-model (nugget 1e-6) fixed point."""
     t = jnp.asarray(t)
     if _k.is_nonstationary(structure):
-        return _k.evaluate(structure, params, t1=t[:, None], t2=t[None, :])
+        # same convention as kernel_matrix: lag + coordinate grids, no
+        # nugget only for the reference's top-level HP/QHP/POLY quirk
+        K = _k.evaluate(structure, params, r=t[:, None] - t[None, :],
+                        t1=t[:, None], t2=t[None, :])
+        if structure[0] in ("HP", "QHP", "POLY"):
+            return K
+        return K + jnp.asarray(nugget, dtype=K.dtype) * \
+            jnp.eye(t.shape[0], dtype=K.dtype)
     if _use_pallas(structure, t):
         from gpyrn_tpu.ops.pallas_kernels import pallas_kernel_matrix
         return pallas_kernel_matrix(structure, jnp.asarray(params), t,
@@ -129,6 +146,7 @@ def cross_kernel_matrix(structure, params, t_star, t):
     t = jnp.asarray(t)
     if _k.is_nonstationary(structure):
         return _k.evaluate(structure, params,
+                           r=t_star[:, None] - t[None, :],
                            t1=t_star[:, None], t2=t[None, :])
     r = t_star[:, None] - t[None, :]
     return _k.evaluate(structure, params, r=r)

@@ -9,15 +9,31 @@ Python list comprehensions, _utils.py:62-118).
 """
 from __future__ import annotations
 
+from functools import wraps
+from typing import Union
+
 import numpy as np
 import jax.numpy as jnp
-from jax import lax
+from jax import Array as _JaxArray, lax
 
 __all__ = [
-    "semi_amplitude", "keplerian", "keplerian_rv", "phase_folding",
-    "truncCauchy_rvs", "invGamma", "log_sum", "multivariate_normal",
-    "rms", "wrms", "anderson_darling_test",
+    "Array", "semi_amplitude", "keplerian", "keplerian_rv",
+    "phase_folding", "truncCauchy_rvs", "invGamma", "log_sum",
+    "multivariate_normal", "rms", "wrms", "anderson_darling_test",
+    "_array_input",
 ]
+
+# type alias for annotations, as in the reference (_utils.py:17)
+Array = Union[np.ndarray, _JaxArray]
+
+
+def _array_input(f):
+    """Decorator giving ``__call__``-style methods a 1-d array input
+    (reference _utils.py:20-27)."""
+    @wraps(f)
+    def wrapped(self, t):
+        return f(self, np.atleast_1d(t))
+    return wrapped
 
 
 def semi_amplitude(period, Mplanet, Mstar, ecc):

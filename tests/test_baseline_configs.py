@@ -50,6 +50,7 @@ def test_config2_solar_rv_fwhm():
     assert np.asarray(nodes).shape[0] == 1
 
 
+@pytest.mark.slow
 def test_config3_three_outputs_two_nodes():
     rng = np.random.default_rng(3)
     N = 40
@@ -69,6 +70,7 @@ def test_config3_three_outputs_two_nodes():
     assert np.all(np.isfinite(grad))
 
 
+@pytest.mark.slow
 def test_config4_optimize_plus_evidence(tiny_dataset):
     t, y, yerr = tiny_dataset
     gprn = g.inference(1, t, y, yerr)
@@ -102,6 +104,7 @@ def test_config4_optimize_plus_evidence(tiny_dataset):
     assert logz < res["elbo"] + 10   # evidence below the optimum bound
 
 
+@pytest.mark.slow
 def test_config5_largeN_path_and_nonparametric():
     rng = np.random.default_rng(5)
     N = 600                     # exercises the chunked wide-solve path

@@ -94,6 +94,7 @@ def test_matvec():
 # blocked Cholesky / solves
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 @pytest.mark.parametrize("N,block", [(60, 16), (100, 32), (200, 64),
                                      (300, 128)])
 def test_blocked_cholesky_ill_conditioned(N, block):
@@ -107,6 +108,7 @@ def test_blocked_cholesky_ill_conditioned(N, block):
     assert abs(ld - ld64) < 1e-7 * abs(ld64)
 
 
+@pytest.mark.slow
 def test_blocked_cholesky_batch_and_padding():
     """Batched matrices with N not a block multiple (padding path)."""
     N = 90
@@ -119,6 +121,7 @@ def test_blocked_cholesky_batch_and_padding():
         assert abs(ld[i] - ld64) < 1e-7 * abs(ld64)
 
 
+@pytest.mark.slow
 def test_blocked_solves():
     N = 150
     K = _qp_kernel(N)
@@ -136,6 +139,7 @@ def test_blocked_solves():
     assert np.max(np.abs(Xc - ref)) < 1e-5 * np.max(np.abs(ref))
 
 
+@pytest.mark.slow
 def test_blocked_quadratic_form_accuracy():
     """||L⁻¹μ||² for a smooth in-range μ — the μᵀK⁻¹μ ELBO term — is
     far better conditioned than the componentwise solve and must hit

@@ -29,6 +29,25 @@ _KERNELS = {
     "Matern52": (1.1, 20.0),
     "Cosine": (1.1, 20.0),
     "Constant": (1.3,),
+    # round-3 additions: the rest of the reference library
+    "WhiteNoise": (0.7,),
+    "RQP": (1.1, 0.8, 40.0, 20.0, 0.7),
+    "GammaExp": (1.1, 1.4, 20.0),
+    "Piecewise": (60.0,),
+    "Paciorek": (1.1, 20.0, 35.0),
+    "NewPeriodic": (1.1, 0.8, 20.0, 0.7),
+    "QuasiNewPeriodic": (1.1, 0.8, 40.0, 20.0, 0.7),
+    "NewRQP": (1.1, 0.9, 0.8, 40.0, 20.0, 0.7),
+    "CosPeriodic": (1.1, 20.0, 0.9),
+    "QuasiCosPeriodic": (1.1, 40.0, 20.0, 0.9),
+}
+
+# non-stationary (t1, t2) kernels: OO-constructor args
+_NONSTAT_KERNELS = {
+    "Linear": (42.0,),
+    "Polynomial": (1.0, 0.02, 3.0, 2.0),
+    "HarmonicPeriodic": (3, 1.1, 20.0, 0.9),
+    "QuasiHarmonicPeriodic": (3, 1.1, 40.0, 20.0, 0.9),
 }
 
 
@@ -82,13 +101,48 @@ def test_logdet_exact_where_f32_fails(name, t):
         f"{name}: df64 err {df_err} not << f32-assembly err {f32_err}"
 
 
+@pytest.mark.parametrize("name", sorted(_NONSTAT_KERNELS))
+def test_df64_nonstationary_matches_f64(name, t):
+    k = getattr(covfunc, name)(*_NONSTAT_KERNELS[name])
+    t64 = np.asarray(t, dtype=np.float64)
+    K64 = np.asarray(covfunc.evaluate(
+        k.structure, np.asarray(k.core_params(), dtype=np.float64),
+        r=None, t1=t64[:, None], t2=t64[None, :])) + \
+        NUGGET * np.eye(t.size)
+    Kdf = dk.df_kernel_matrix(k.structure, k.core_params(), t, NUGGET)
+    got = np.asarray(dd.to_f64(Kdf))
+    scale = np.max(np.abs(K64))
+    np.testing.assert_allclose(got, K64, rtol=5e-11, atol=5e-11 * scale)
+
+
+def test_df64_polynomial_negative_base(t):
+    """C99 pow semantics: odd integer exponent on a negative base."""
+    tt = np.linspace(-3.0, 3.0, 64)     # a·t1·t2 + b changes sign
+    k = covfunc.Polynomial(1.0, 1.0, -0.5, 3.0)
+    K64 = np.asarray(covfunc.evaluate(
+        k.structure, np.asarray(k.core_params(), dtype=np.float64),
+        r=None, t1=tt[:, None], t2=tt[None, :]))
+    Kdf = dk.df_kernel_matrix(k.structure, k.core_params(), tt, 0.0)
+    got = np.asarray(dd.to_f64(Kdf))
+    assert np.min(K64) < 0 < np.max(K64)      # sign actually exercised
+    np.testing.assert_allclose(got, K64, rtol=1e-10,
+                               atol=1e-10 * np.max(np.abs(K64)))
+
+
 def test_unsupported_structure_raises(t):
+    # only the Derivative wrapper has no df64 rule now
     with pytest.raises(ValueError):
-        dk.df_kernel_matrix(("WN",), np.array([0.1]), t, NUGGET)
-    assert not dk.df_supported(("HP", 3))
+        dk.df_kernel_matrix(("d", ("SE",)), np.array([1.0, 10.0]), t,
+                            NUGGET)
+    assert not dk.df_supported(("d", ("SE",)))
     assert dk.df_supported(("+", ("SE",), ("M52",)))
+    assert dk.df_supported(("WN",))
+    assert dk.df_supported(("HP",))
+    assert dk.df_nonstationary(("*", ("SE",), ("LIN",)))
+    assert not dk.df_nonstationary(("QP",))
 
 
+@pytest.mark.slow
 def test_df64_accuracy_independent_of_x64(tmp_path):
     """Regression: with GPYRN_TPU_X64=0 (the TPU speed mode) the df64
     pipeline must retain full accuracy — the old jnp-based from_f64

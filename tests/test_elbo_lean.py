@@ -52,6 +52,7 @@ def test_elbo_fit_lean_matches_dense(q, p):
                                atol=1e-9)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("q,p", [(1, 2), (2, 1)])
 def test_elbo_refine_lean_matches_dense(q, p):
     m = _build(q, p, N=20, seed=5)
@@ -71,6 +72,7 @@ def test_elbo_refine_lean_matches_dense(q, p):
                                atol=1e-10)
 
 
+@pytest.mark.slow
 def test_elbo_fit_lean_chunked_branch():
     """Force the column-chunked diag/trace path at small N."""
     m0 = _build(1, 2, N=22, seed=7)
@@ -98,6 +100,7 @@ def test_elbo_fit_lean_chunked_branch():
                                atol=1e-10)
 
 
+@pytest.mark.slow
 def test_mixed_stop_elbo_reference_semantics(monkeypatch):
     """`mixed_stop='elbo'` must run the f32 fit under the reference
     stopping rule and land on the same converged ELBO as the default

@@ -67,6 +67,7 @@ def test_harmonic_periodic_node_engine():
     assert np.all(np.isfinite(m))
 
 
+@pytest.mark.slow
 def test_quasi_harmonic_static_extra_engine():
     """QuasiHarmonicPeriodic keeps N outside pars (core_params map)."""
     t, data = _data()
@@ -98,6 +99,7 @@ def test_multiconstant_mean_engine():
     assert np.all(np.isfinite(m))
 
 
+@pytest.mark.slow
 def test_keplerian_mean_engine():
     t, data = _data()
     gprn = g.inference(1, t, *data)

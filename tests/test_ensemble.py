@@ -19,6 +19,7 @@ def gprn(tiny_dataset):
     return m
 
 
+@pytest.mark.slow
 def test_native_sampler_smoke(gprn, tmp_path):
     priors = {
         'node1.theta': st.lognorm(s=0.5, scale=1.0),
@@ -46,6 +47,7 @@ def test_missing_priors_raise(gprn):
         gprn.mcmc({'node1.theta': st.norm(1, 1)}, niter=2)
 
 
+@pytest.mark.slow
 def test_mcmc_respects_frozen(gprn):
     priors = {
         'node1.theta': st.lognorm(s=0.3, scale=1.0),
@@ -74,6 +76,7 @@ def test_get_chain_accessors():
     assert res.get_log_prob(flat=True).shape == (12,)
 
 
+@pytest.mark.slow
 def test_device_chain_smoke(gprn, tmp_path):
     """On-device scanned segments (traceable priors): shapes, finiteness,
     checkpointing, and acceptance bookkeeping."""
@@ -98,6 +101,7 @@ def test_device_chain_smoke(gprn, tmp_path):
     assert loaded.chain.shape == res.chain.shape
 
 
+@pytest.mark.slow
 def test_device_and_host_paths_agree_statistically(gprn):
     """Device-scanned and host-loop chains sample the same posterior:
     their post-burn-in means agree within combined MC error on a

@@ -29,6 +29,7 @@ def _fixed_point(gprn, tol=1e-12, max_iter=50000):
     return float(e), np.asarray(mu), np.asarray(var)
 
 
+@pytest.mark.slow
 def test_evaluator_matches_f64_engine(tiny_dataset):
     t, y, yerr = tiny_dataset
     gprn = g.inference(1, t, y, yerr)
@@ -40,6 +41,7 @@ def test_evaluator_matches_f64_engine(tiny_dataset):
     assert e_exact == pytest.approx(e_gold, rel=1e-6)
 
 
+@pytest.mark.slow
 def test_evaluator_multi_output():
     rng = np.random.default_rng(2)
     N = 30
@@ -58,6 +60,7 @@ def test_evaluator_multi_output():
     assert e_exact == pytest.approx(e_gold, rel=1e-6)
 
 
+@pytest.mark.slow
 def test_end_to_end_f32_state(tiny_dataset):
     """Pure-f32 pipeline (f32 fit + df64 terms, zero f64 hardware ops):
     accuracy is limited by the f32 STATE's roundoff plateau (the fit
@@ -85,6 +88,7 @@ def test_end_to_end_f32_state(tiny_dataset):
     assert e_exact == pytest.approx(e_gold, rel=2e-3)
 
 
+@pytest.mark.slow
 def test_evaluator_q2_cumulative_cross_traces():
     """q = 2 exercises the reference's cumulative-sumSigmaF quirk
     (df64 cross-traces) and the scrambled weight-mean flatten."""

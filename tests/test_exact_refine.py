@@ -52,6 +52,7 @@ def dataset2():
     return t, data
 
 
+@pytest.mark.slow
 def test_refine_matches_f64_q1_p1():
     rng = np.random.default_rng(5)
     N = 30
@@ -64,6 +65,7 @@ def test_refine_matches_f64_q1_p1():
     _compare(gprn)
 
 
+@pytest.mark.slow
 def test_refine_matches_f64_q1_p2(dataset2):
     t, data = dataset2
     gprn = g.inference(1, t, *data)
@@ -74,6 +76,7 @@ def test_refine_matches_f64_q1_p2(dataset2):
     _compare(gprn)
 
 
+@pytest.mark.slow
 def test_refine_matches_f64_q2_cumulative_quirk(dataset2):
     """q=2 exercises the cumulative-sumSigmaF cross traces
     (reference meanfield.py:1039) and the raw weight-mean flatten."""
@@ -87,6 +90,7 @@ def test_refine_matches_f64_q2_cumulative_quirk(dataset2):
     _compare(gprn)
 
 
+@pytest.mark.slow
 def test_mixed_precision_uses_df64_refine(dataset2):
     """ELBOcalc(precision='mixed') with the df64 refine method lands on
     the converged f64 fixed-point ELBO (the end-to-end mixed pipeline
@@ -113,10 +117,29 @@ def test_mixed_precision_uses_df64_refine(dataset2):
     assert emix == pytest.approx(e64, rel=2e-6)
 
 
+@pytest.mark.slow
+def test_refine_matches_f64_round3_kernels(dataset2):
+    """Round-3 df64 assembly rules: a model spanning the NEW kernel
+    families (NewRQP node; GammaExp and non-stationary Linear-composite
+    weights) must refine on the df64 path to the same ELBO as f64."""
+    t, data = dataset2
+    gprn = g.inference(1, t, *data)
+    gprn.set_components(
+        g.covfunc.NewRQP(1.0, 0.9, 0.8, 30.0, 9.0, 0.7),
+        [g.covfunc.GammaExp(1.0, 1.4, 12.0),
+         g.covfunc.SquaredExponential(0.8, 10.0) +
+         g.covfunc.Linear(80.0) * g.covfunc.Constant(0.02)],
+        [None, None], [0.1, 0.1])
+    assert exact_refine_supported(gprn.engine.spec)
+    _compare(gprn, rel=1e-6)
+
+
 def test_unsupported_kernel_raises(dataset2):
     t, data = dataset2
     gprn = g.inference(1, t, data[0], data[1])
-    gprn.set_components(g.covfunc.Piecewise(1.0),
+    # only the Derivative wrapper lacks a df64 assembly rule now
+    gprn.set_components(g.covfunc.Derivative(
+                            g.covfunc.SquaredExponential(1.0, 5.0)),
                         g.covfunc.SquaredExponential(1.0, 5.0),
                         [None], [0.1])
     assert not exact_refine_supported(gprn.engine.spec)
@@ -124,6 +147,7 @@ def test_unsupported_kernel_raises(dataset2):
         refine_exact(gprn, np.zeros(gprn.d), np.ones(gprn.d))
 
 
+@pytest.mark.slow
 def test_mixed_component_overrides_reach_df64_polish(dataset2):
     """ELBOcalc(nodes', weights', ..., precision='mixed') must evaluate
     the df64 polish at the OVERRIDE hyperparameters, not the stored

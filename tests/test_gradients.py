@@ -18,6 +18,7 @@ def gprn(tiny_dataset):
     return m
 
 
+@pytest.mark.slow
 def test_elbo_grad_matches_finite_differences(gprn):
     gprn.ELBOcalc()  # populate the warm-start cache
     theta0 = gprn.get_parameters()

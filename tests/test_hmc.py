@@ -43,6 +43,7 @@ def test_prior_rvs_within_support():
     assert np.isfinite(pr.Normal(0, 1).std())
 
 
+@pytest.mark.slow
 def test_hmc_smoke(tiny_dataset):
     t, y, yerr = tiny_dataset
     gprn = g.inference(1, t, y, yerr)
@@ -79,6 +80,7 @@ def test_hmc_missing_prior_raises(tiny_dataset):
         run_hmc(gprn, {'node1.theta': pr.Normal(1, 1)}, n_samples=1)
 
 
+@pytest.mark.slow
 def test_hmc_multi_node_smoke(multi_dataset):
     """HMC over a q=2, p=3 model (the flagship shape)."""
     t, *data = multi_dataset
@@ -101,6 +103,7 @@ def test_hmc_multi_node_smoke(multi_dataset):
     assert np.all(np.isfinite(res.log_prob))
 
 
+@pytest.mark.slow
 def test_nuts_smoke(tiny_dataset):
     t, y, yerr = tiny_dataset
     gprn = g.inference(1, t, y, yerr)
@@ -125,6 +128,7 @@ def test_nuts_smoke(tiny_dataset):
     assert 0.0 <= res.acceptance <= 1.0
 
 
+@pytest.mark.slow
 def test_nuts_agrees_with_hmc_posterior(tiny_dataset):
     """NUTS and HMC sample the same posterior on a well-identified
     1-parameter problem: posterior means within combined MC error."""

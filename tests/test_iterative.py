@@ -113,6 +113,7 @@ def test_lanczos_extreme_eigs(problem):
     assert ritz.max() >= w.max() * 0.9      # top eigenvalue converged
 
 
+@pytest.mark.slow
 def test_cg_refined_beats_f32_stall():
     """Mixed-precision iterative refinement: f32 CG stalls near its
     rounding floor; df64 residuals push the solve to ~1e-6."""

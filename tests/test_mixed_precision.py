@@ -58,6 +58,7 @@ def test_mixed_close_to_converged_f64(gprn):
     assert em == pytest.approx(e64, rel=1e-5)
 
 
+@pytest.mark.slow
 def test_mixed_multi_output(multi_dataset):
     """For q > 1 the reference's computed ELBO is not exactly the
     objective the updates maximize (cumulative-sumSigmaF and raw-y

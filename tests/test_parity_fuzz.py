@@ -130,6 +130,7 @@ def _build_pair(rng, N_range=(80, 200)):
     return ours, ref, (nodes_r, weights_r, [None] * p, jitters), (q, p, N)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", range(5))
 def test_parity_fuzz_realistic_N(seed):
     """Fuzz at realistic sizes (N≈80-200, f64 CPU) with a NON-brittle

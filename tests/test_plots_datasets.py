@@ -30,6 +30,7 @@ def test_load_solar_into_inference():
     assert gprn.p == 2 and gprn.N == 497
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("p", [1, 2, 3, 4])
 def test_plot_prediction(p, tiny_dataset):
     t, y, yerr = tiny_dataset

@@ -25,6 +25,7 @@ def fitted():
     return m
 
 
+@pytest.mark.slow
 def test_matches_dense_predict(fitted):
     m = fitted
     tstar = np.linspace(-5, 65, 80)

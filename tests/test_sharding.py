@@ -65,6 +65,7 @@ def test_lattice_sharded_elbo_matches_unsharded():
     np.testing.assert_allclose(mu_ref, mu_sh, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_multistart_sharded_improves_elbo():
     gprn = _problem()
     e0 = gprn.ELBO
@@ -77,6 +78,7 @@ def test_multistart_sharded_improves_elbo():
     assert out["restart_elbos"].shape == (len(jax.devices()),)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import sys
     sys.path.insert(0, "/root/repo")

@@ -81,3 +81,20 @@ def test_anderson_darling():
     rng = np.random.default_rng(2)
     _, label = astro.anderson_darling_test(rng.standard_normal(200))
     assert label.startswith("A-D:")
+
+
+def test_array_alias_and_array_input_decorator():
+    """Reference _utils.py:17-27 parity: the Array annotation alias and
+    the _array_input method decorator."""
+    import typing
+    assert typing.get_origin(astro.Array) is typing.Union
+
+    class F:
+        @astro._array_input
+        def __call__(self, t):
+            assert isinstance(t, np.ndarray) and t.ndim == 1
+            return 2.0 * t
+
+    out = F()(3.0)
+    np.testing.assert_allclose(out, [6.0])
+    np.testing.assert_allclose(F()([1.0, 2.0]), [2.0, 4.0])
