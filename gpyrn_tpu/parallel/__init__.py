@@ -9,8 +9,10 @@ from gpyrn_tpu.parallel.mesh import (DP_AXIS, LAT_AXIS, make_mesh,
                                      shard_along, use_mesh)
 from gpyrn_tpu.parallel.multistart import (make_multistart_step,
                                            multistart_optimize)
+from gpyrn_tpu.parallel.panel_fit import PanelEngine, make_panel_engine
 
 __all__ = [
     "DP_AXIS", "LAT_AXIS", "make_mesh", "shard_along", "use_mesh",
     "make_multistart_step", "multistart_optimize",
+    "PanelEngine", "make_panel_engine",
 ]
