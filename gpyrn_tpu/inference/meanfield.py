@@ -77,12 +77,27 @@ class inference:
         # only, models/exact_blocked.py); 'f64' = the float64 engine
         # sweeps; 'auto' picks df64 on TPU when every kernel has a df64
         # assembly rule, f64 otherwise (f64 is native speed on CPU)
+        self.fit_method = 'dense'   # 'dense'|'cg': how the
+        # mixed-precision BULK fit runs.  'dense' = batched/lean
+        # Cholesky engines (exact; single-chip ceiling ~N=20k).  'cg' =
+        # matrix-free coordinate ascent (models/cg_fit.py): chunked
+        # kernel matvecs + pivoted-Cholesky-preconditioned CG for μ and
+        # the closed-form low-rank posterior diagonal — O(N·(rank +
+        # chunk)) memory, the N ≫ 20k path.  Explicit opt-in: the
+        # rank/tolerance knobs below change the accuracy contract
+        # (f64 update-map agreement vs the dense engines measured at
+        # ~2e-7 for cg_rank=128 on the BASELINE QP configs, N=300–1000;
+        # raise cg_rank for rougher kernels.  In f32 both the dense and
+        # CG maps carry ~1e-3/sweep rounding, identically.)
+        self.cg_rank = 128          # pivoted-Cholesky compression rank
+        self.cg_tol = 1e-6          # inner CG relative-residual tol
         self.refine_device = 'auto'  # 'auto'|'cpu'|None: where the f64
         # polish runs ('auto' prefers a CPU device when the default
         # backend is TPU — software-emulated f64 there is slow at
         # large N; run with JAX_PLATFORMS=tpu,cpu to make one available)
         self.verbose = False
         self._engine = None
+        self._cg_engine = None      # keyed by (cg_rank, cg_tol)
         self._lattice_axis = None
 
     # ------------------------------------------------------------------
@@ -126,6 +141,7 @@ class inference:
         self.jitters = np.array(jitters, dtype=float)
         self._components_set = True
         self._engine = None     # structure changed: rebuild lazily
+        self._cg_engine = None
 
     def _require_components(self):
         msg = 'GPRN components not set, use set_components'
@@ -311,25 +327,44 @@ class inference:
     # engine plumbing
     # ------------------------------------------------------------------
 
+    def _spec_and_core_maps(self):
+        spec = _core.spec_from_components(self.nodes, self.weights,
+                                          self.means, self.N)
+        core_maps = None
+        if any(k.has_core_map() for k in
+               list(self.nodes) + list(self.weights)):
+            core_maps = (
+                tuple(k.core_params_from if k.has_core_map() else None
+                      for k in self.nodes),
+                tuple(k.core_params_from if k.has_core_map() else None
+                      for k in self.weights),
+            )
+        return spec, core_maps
+
     @property
     def engine(self) -> _core.Engine:
         """The jitted function bundle for the current model structure."""
         self._require_components()
         if self._engine is None:
-            spec = _core.spec_from_components(self.nodes, self.weights,
-                                              self.means, self.N)
-            core_maps = None
-            if any(k.has_core_map() for k in
-                   list(self.nodes) + list(self.weights)):
-                core_maps = (
-                    tuple(k.core_params_from if k.has_core_map() else None
-                          for k in self.nodes),
-                    tuple(k.core_params_from if k.has_core_map() else None
-                          for k in self.weights),
-                )
+            spec, core_maps = self._spec_and_core_maps()
             self._engine = _core.make_engine(spec, core_maps,
                                              self._lattice_axis)
         return self._engine
+
+    @property
+    def cg_engine(self):
+        """Matrix-free fit bundle (models/cg_fit.py) for
+        ``fit_method='cg'`` — rebuilt lazily when the structure or the
+        (cg_rank, cg_tol) knobs change."""
+        self._require_components()
+        key = (self.cg_rank, self.cg_tol)
+        if self._cg_engine is None or self._cg_engine[0] != key:
+            from gpyrn_tpu.models.cg_fit import make_cg_fit
+            spec, core_maps = self._spec_and_core_maps()
+            self._cg_engine = (key, make_cg_fit(
+                spec, rank=self.cg_rank, cg_tol=self.cg_tol,
+                core_maps=core_maps))
+        return self._cg_engine[1]
 
     @property
     def lattice_axis(self):
@@ -342,6 +377,7 @@ class inference:
     def lattice_axis(self, axis):
         self._lattice_axis = axis
         self._engine = None
+        self._cg_engine = None
 
     def _theta(self, nodes=None, weights=None, means=None, jitters=None):
         nodes, weights, means, jitters = self._get_components(
@@ -463,6 +499,9 @@ class inference:
                     else self.engine.elbo_fit
                 _, mu32, var32, n_iter, converged, _ = fit(
                     *f32_args, max_iter)
+            elif getattr(self, 'fit_method', 'dense') == 'cg':
+                mu32, var32, n_iter, converged = self.cg_engine.fit_state_cg(
+                    *f32_args, max_iter, self.mixed_tol)
             else:
                 fit = self.engine.fit_state_lean if lean \
                     else self.engine.fit_state

@@ -1,0 +1,285 @@
+"""Matrix-free (CG) GPRN coordinate-ascent fit — the N ≫ 20k path.
+
+Turns the BBMM toolkit of :mod:`gpyrn_tpu.ops.iterative` into a
+training capability (round-2 verdict item 4): the same coordinate
+update map as ``Engine.fit_state_lean`` (models/gprn.py
+`_sweep_updates_lean`), but with every O(N²)-memory dense object
+replaced by matrix-free pieces:
+
+* the Σ-apply μ = K·pred − K·A⁻¹(K·pred) runs through chunked kernel
+  matvecs (`kernel_matvec`, O(N·chunk) live memory) and a
+  **preconditioned CG solve** on A = K + diag(d);
+* the posterior diagonal uses the closed-form low-rank identity: with
+  the pivoted-Cholesky compression K ≈ U Uᵀ (rank m, exponentially
+  convergent for smooth kernels), Woodbury gives
+
+      Σ = (K⁻¹ + D)⁻¹ = U (I + Uᵀ D U)⁻¹ Uᵀ      (exact for K = UUᵀ)
+
+  so diag Σ is a DETERMINISTIC O(N·m²) column-norm pass — no
+  Hutchinson noise to leak into the update map;
+* the same U preconditions CG (M = U Uᵀ + diag(d), applied by
+  Woodbury), which collapses the iteration count for the smooth
+  kernels where plain CG crawls.
+
+The per-GP factors U depend only on (θ, t), so they are computed ONCE
+per fit call and reused across all sweeps — per sweep the cost is
+q·(1+p) CG solves (a few tens of O(N²/chunk-free) matvecs) plus
+O(N·m²) diag work, with O(N·(m + chunk)) peak memory.
+
+Semantics contract: identical update map and stopping rule as
+``fit_state_lean`` up to the rank-m truncation of diag Σ and the CG
+tolerance; tests/test_cg_fit.py pins the agreement (≤ 1e-4 relative
+state error at overlapping N against the dense engines, the round-2
+verdict's acceptance bar).
+
+Reference context: the reference engine is dense NumPy
+(meanfield.py:771,850) and caps at the memory of one host; this path
+has no counterpart there.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from gpyrn_tpu.models.gprn import GPRNSpec, unpack_parameters
+from gpyrn_tpu.ops import means as means_mod
+from gpyrn_tpu.ops.iterative import (cg_solve, kernel_diag,
+                                     kernel_matvec, pivoted_cholesky)
+from gpyrn_tpu.ops.linalg import F32_JITTER_MULT, TRAIN_NUGGET
+
+__all__ = ["CGFitEngine", "make_cg_fit"]
+
+
+class CGFitEngine(NamedTuple):
+    """Jitted matrix-free fit bundle for one model structure."""
+    spec: GPRNSpec
+    rank: int
+    fit_state_cg: Callable   # (theta, t, y, yerr2, mu0, var0, max_iter,
+    #                          tol) -> (mu, var, it, done)
+    factors: Callable        # (theta, t) -> stacked U (q·(1+p), N, m)
+    #                          (diagnostic: pivoted-Cholesky factors)
+
+
+def make_cg_fit(spec: GPRNSpec, rank: int = 128, cg_tol: float = 1e-6,
+                cg_maxiter: int = 200, chunk: int = 2048,
+                core_maps=None) -> CGFitEngine:
+    """Build the matrix-free fit for ``spec``.
+
+    Args:
+        rank: pivoted-Cholesky rank m (compression of each GP's K; the
+            diag-Σ truncation error decays exponentially in m for
+            smooth kernels — raise it if `factors`' residual is large).
+        cg_tol / cg_maxiter: inner solve control.
+        chunk: kernel matvec row-chunk (memory/speed tradeoff).
+    """
+    q, p, N = spec.q, spec.p, spec.N
+    qp = q * p
+
+    node_maps = weight_maps = None
+    if core_maps is not None:
+        node_maps, weight_maps = core_maps
+
+    def _core(params_list, maps):
+        if maps is None:
+            return params_list
+        return [m(pp) if m is not None else pp
+                for m, pp in zip(maps, params_list)]
+
+    def _mean_values(theta, t):
+        _, _, mean_p, _ = unpack_parameters(spec, theta)
+        rows = []
+        for s, mp in zip(spec.mean_structs, mean_p):
+            if s is None:
+                rows.append(jnp.zeros(t.shape, dtype=t.dtype))
+            else:
+                rows.append(means_mod.evaluate(s, mp, t))
+        return jnp.stack(rows)
+
+    def _all_cores(theta):
+        node_p, weight_p, _, _ = unpack_parameters(spec, theta)
+        return (_core(node_p, node_maps), _core(weight_p, weight_maps))
+
+    def _factors(theta, t):
+        """Per-GP pivoted-Cholesky factors + residual diagonals
+        (computed once per fit): K + νI ≈ U Uᵀ + diag(g).
+
+        The pivoting runs on the SMOOTH kernel (no nugget) — a νI term
+        has no low-rank structure and floors the greedy residual at ν,
+        wasting one rank per data point; factored smooth, the residual
+        decays exponentially (measured: 1.6e-6 → 7e-16 between m = 96
+        and 192 for the BASELINE QP kernel).  The nugget then enters g
+        EXACTLY as a diagonal, so B = U Uᵀ + diag(g) matches K + νI to
+        the smooth tail at machine level.
+
+        The nugget ν per GP follows the SAME dtype-aware policy as the
+        dense engines (ops/linalg.kernel_matrix: max(TRAIN_NUGGET,
+        F32_JITTER_MULT·eps·tr K)) — in f32 the trace-scaled term
+        dominates, and using the bare TRAIN_NUGGET instead makes the CG
+        map a measurably DIFFERENT model from the dense one (~1e-3
+        state divergence at N=400)."""
+        node_c, weight_c = _all_cores(theta)
+        structs = list(spec.node_structs) + list(spec.weight_structs)
+        cores = node_c + weight_c
+        outs = [pivoted_cholesky(s, cp, t, rank, 0.0)
+                for s, cp in zip(structs, cores)]
+        eps = jnp.finfo(t.dtype).eps
+        nus = jnp.stack([
+            jnp.maximum(jnp.asarray(TRAIN_NUGGET, dtype=t.dtype),
+                        F32_JITTER_MULT * eps
+                        * jnp.sum(kernel_diag(s, cp, t, 0.0)))
+            for s, cp in zip(structs, cores)])     # (q·(1+p),)
+        Us = jnp.stack([o[0] for o in outs])       # (q·(1+p), N, m)
+        gs = jnp.stack([o[1] + nu for o, nu in zip(outs, nus)])
+        return Us, gs, nus
+
+    def _gp_update_cg(structure, cp, t, U, g, nu, d_add, pred):
+        """One GP's coordinate update, matrix-free.
+
+        A = K + diag(d_add); D = diag(1/d_add) (the precision diagonal
+        of the conditional likelihood); returns (Σ·pred, diag Σ).
+
+        μ uses the EXACT kernel (chunked matvecs + preconditioned CG);
+        diag Σ uses the diagonal-corrected compression
+        B := U Uᵀ + diag(g) ≈ K + νI (diag matched exactly), for which
+        Woodbury keeps everything closed-form at O(N·m²):
+
+            Σ_B = B − B (B + diag(d_add))⁻¹ B,
+            (B + diag(h))⁻¹ = diag(1/h) − (U/h) C₂⁻¹ (U/h)ᵀ,
+            C₂ = I + Uᵀ diag(1/h) U,   h = g + d_add,
+
+        so the truncation error in diag Σ is second order in the
+        OFF-diagonal pivoting residual (the diagonal part is exact)."""
+        Krhs = kernel_matvec(structure, cp, t, pred,
+                             nugget=nu, chunk=chunk)
+        h = g + d_add
+        Uh = U / h[:, None]
+        C2 = jnp.eye(rank, dtype=U.dtype) + U.T @ Uh
+        L2 = jnp.linalg.cholesky(C2)
+
+        def precond(r):
+            # M = B + diag(d_add) = U Uᵀ + diag(h) — the exact inverse
+            # of the compressed A, so CG converges in a handful of steps
+            ra = r / h[:, None]
+            s = jax.scipy.linalg.cho_solve((L2, True), U.T @ ra)
+            return ra - Uh @ s
+
+        def mv(x):
+            return kernel_matvec(structure, cp, t, x,
+                                 nugget=nu, chunk=chunk) \
+                + d_add[:, None] * x
+
+        t1, _ = cg_solve(mv, Krhs[:, None], tol=cg_tol,
+                         maxiter=cg_maxiter, precond_apply=precond)
+        sig_rhs = Krhs - kernel_matvec(structure, cp, t, t1[:, 0],
+                                       nugget=nu, chunk=chunk)
+
+        # diag Σ_B: two exact forms with COMPLEMENTARY f32 cancellation,
+        # P = (B + diag(d_add))⁻¹:
+        #   (i)  diag Σ = diag(B) − diag(B P B)        — safe for
+        #        d_add ≳ diag(B) (weak data; BPB ≪ B, no cancellation);
+        #   (ii) diag Σ = d_add ∘ (1 − d_add ∘ diag P) — from
+        #        Σ = diag(d_add) − diag(d_add) P diag(d_add); safe for
+        #        d_add ≲ diag(B) (strong data — form (i) cancels
+        #        catastrophically there: abs err ~ eps·diag(B) while the
+        #        true value shrinks to ~d_add, which produced NEGATIVE
+        #        f32 variances before this split)
+        V2 = lax.linalg.triangular_solve(L2, Uh.T, left_side=True,
+                                         lower=True)         # (m, N)
+        diagP = 1.0 / h - jnp.sum(V2 * V2, axis=0)
+        G2 = U.T @ Uh                                        # (m, m)
+        W = Uh - Uh @ jax.scipy.linalg.cho_solve((L2, True), G2)  # P U
+        M2 = U.T @ W                                         # Uᵀ P U
+        rowUU = jnp.sum(U * U, axis=1)
+        diagB = g + rowUU
+        diagBPB = (g * g * diagP
+                   + 2.0 * g * jnp.sum(W * U, axis=1)
+                   + jnp.sum((U @ M2) * U, axis=1))
+        dS = jnp.where(d_add < diagB,
+                       d_add * (1.0 - d_add * diagP),
+                       diagB - diagBPB)
+        dS = jnp.maximum(dS, jnp.finfo(U.dtype).tiny)
+        return sig_rhs, dS
+
+    def _sweep(theta, t, y_c, variance, Us, gs, nus, muF, varF, muW,
+               varW):
+        """One coordinate-ascent sweep (mirror of
+        `_sweep_updates_lean`, matrix-free per-GP updates)."""
+        node_c, weight_c = _all_cores(theta)
+        dv = jnp.sum((muW * muW + varW) / variance[:, None, :], axis=0)
+        total = jnp.einsum("pqn,qn->pn", muW, muF)
+        resid = (y_c[None, :, :] - total[None, :, :] +
+                 muW.transpose(1, 0, 2) * muF[:, None, :])
+        pred = jnp.einsum("qpn,pqn->qn", resid,
+                          muW / variance[:, None, :])
+        outs = [_gp_update_cg(s, node_c[j], t, Us[j], gs[j], nus[j],
+                              1.0 / dv[j], pred[j])
+                for j, s in enumerate(spec.node_structs)]
+        mu_f = jnp.stack([o[0] for o in outs])
+        dSf = jnp.stack([o[1] for o in outs])
+
+        dv2 = mu_f * mu_f + dSf
+        ratio = (variance[None, :, :] /
+                 dv2[:, None, :]).reshape(qp, N)
+        total2 = jnp.einsum("pqn,qn->pn", muW, mu_f)
+        resid2 = (y_c[None, :, :] - total2[None, :, :] +
+                  muW.transpose(1, 0, 2) * mu_f[:, None, :])
+        pred2 = (resid2 * mu_f[:, None, :] /
+                 variance[None, :, :]).reshape(qp, N)
+        outs = [_gp_update_cg(s, weight_c[a], t, Us[q + a],
+                              gs[q + a], nus[q + a], ratio[a], pred2[a])
+                for a, s in enumerate(spec.weight_structs)]
+        mu_w = jnp.stack([o[0] for o in outs]).reshape(q, p, N) \
+            .transpose(1, 0, 2)
+        dSw = jnp.stack([o[1] for o in outs]).reshape(q, p, N)
+        return mu_f, dSf, mu_w, dSw.transpose(1, 0, 2)
+
+    def _u_split(u):
+        muF = u[:q * N].reshape(q, N)
+        muW = u[q * N:].reshape(p, q, N)
+        return muF, muW
+
+    @jax.jit
+    def fit_state_cg(theta, t, y, yerr2, mu0, var0, max_iter, tol):
+        theta = jnp.asarray(theta)
+        t = jnp.asarray(t)
+        _, _, _, jitters = unpack_parameters(spec, theta)
+        m = _mean_values(theta, t)
+        y_c = jnp.asarray(y) - m
+        variance = jitters[:, None] ** 2 + jnp.asarray(yerr2)
+        muF0, muW0 = _u_split(jnp.asarray(mu0).ravel())
+        varF0, varW0 = _u_split(jnp.asarray(var0).ravel())
+        Us, gs, nus = _factors(theta, t)
+
+        def body(state):
+            muF, varF, muW, varW, _, it, done = state
+            mu_f, varf, mu_w, varw = _sweep(
+                theta, t, y_c, variance, Us, gs, nus, muF, varF, muW,
+                varW)
+            scale = 1.0 + jnp.maximum(jnp.max(jnp.abs(mu_f)),
+                                      jnp.max(jnp.abs(mu_w)))
+            delta = jnp.maximum(jnp.max(jnp.abs(mu_f - muF)),
+                                jnp.max(jnp.abs(mu_w - muW))) / scale
+            it = it + 1
+            done = delta < tol
+            return mu_f, varf, mu_w, varw, delta, it, done
+
+        def cond(state):
+            *_, it, done = state
+            return (~done) & (it < max_iter)
+
+        init = (muF0, varF0, muW0, varW0,
+                jnp.array(jnp.inf, muF0.dtype),
+                jnp.array(0, jnp.int32), jnp.array(False))
+        muF, varF, muW, varW, _, it, done = lax.while_loop(
+            cond, body, init)
+        mu = jnp.concatenate([muF.ravel(), muW.ravel()])
+        var = jnp.concatenate([varF.ravel(), varW.ravel()])
+        return mu, var, it, done
+
+    return CGFitEngine(spec=spec, rank=rank, fit_state_cg=fit_state_cg,
+                       factors=jax.jit(_factors))

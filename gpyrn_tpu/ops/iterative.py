@@ -35,7 +35,8 @@ from jax import lax
 from gpyrn_tpu.ops import kernels as _k
 
 __all__ = ["kernel_matvec", "cg_solve", "slq_logdet", "lanczos",
-           "df64_kernel_matvec", "cg_refined"]
+           "df64_kernel_matvec", "cg_refined", "kernel_diag",
+           "pivoted_cholesky", "woodbury_apply"]
 
 
 def kernel_matvec(structure, params, t, v, nugget=0.0, chunk: int = 2048):
@@ -74,14 +75,18 @@ def kernel_matvec(structure, params, t, v, nugget=0.0, chunk: int = 2048):
 
 
 def cg_solve(matvec, b, tol: float = 1e-8, maxiter: int = 1000,
-             precond_diag: Optional[jnp.ndarray] = None, x0=None):
-    """Solve A x = b by (Jacobi-)preconditioned conjugate gradients.
+             precond_diag: Optional[jnp.ndarray] = None, x0=None,
+             precond_apply=None):
+    """Solve A x = b by preconditioned conjugate gradients.
 
     ``matvec`` maps (N, m) -> (N, m) (columns are independent systems);
     b may be (N,) or (N, m).  Per-column α/β, shared matvecs — the
     batched-CG layout that keeps the MXU busy.  ``x0`` warm-starts the
     iteration (restart the loop from the host in bounded chunks where
-    a runtime kills long device calls).  Returns (x, n_iters).
+    a runtime kills long device calls).  The preconditioner is either
+    Jacobi (``precond_diag``, divides by it) or a general SPD apply
+    ``precond_apply(r) = M⁻¹ r`` (e.g. :func:`woodbury_apply` around a
+    pivoted-Cholesky factor).  Returns (x, n_iters).
     """
     b = jnp.asarray(b)
     squeeze = b.ndim == 1
@@ -91,6 +96,8 @@ def cg_solve(matvec, b, tol: float = 1e-8, maxiter: int = 1000,
         else None
 
     def apply_M(r):
+        if precond_apply is not None:
+            return precond_apply(r)
         return r * Minv if Minv is not None else r
 
     if x0 is None:
@@ -127,6 +134,86 @@ def cg_solve(matvec, b, tol: float = 1e-8, maxiter: int = 1000,
     x, r, z, p, rz, it = lax.while_loop(
         cond, body, (x0, r0, z0, p0, rz0, jnp.asarray(0, jnp.int32)))
     return (x[:, 0] if squeeze else x), it
+
+
+def kernel_diag(structure, params, t, nugget=0.0):
+    """diag(K(t,t)) + nugget without materializing K (O(N))."""
+    t = jnp.asarray(t)
+    params = jnp.asarray(params)
+    z = jnp.zeros_like(t)
+    if _k.is_nonstationary(structure):
+        d = _k.evaluate(structure, params, r=z, t1=t, t2=t)
+    else:
+        d = _k.evaluate(structure, params, r=z)
+    return d + jnp.asarray(nugget, dtype=d.dtype)
+
+
+def _kernel_column(structure, params, t, tj, j, nugget):
+    """K(t, t[j]) + nugget·e_j for a single (traced) pivot time tj."""
+    if _k.is_nonstationary(structure):
+        col = _k.evaluate(structure, params, r=t - tj, t1=t,
+                          t2=jnp.broadcast_to(tj, t.shape))
+    else:
+        col = _k.evaluate(structure, params, r=t - tj)
+    return col + nugget * (jnp.arange(t.shape[0]) == j)
+
+
+def pivoted_cholesky(structure, params, t, rank: int, nugget=0.0):
+    """Greedy pivoted (partial) Cholesky: K + nugget·I ≈ U Uᵀ, U (N, m).
+
+    Classic GP low-rank compression (Harbrecht et al. 2012; GPyTorch's
+    preconditioner): each step picks the largest remaining diagonal
+    residual, evaluates ONE kernel column there (O(N) assembly — K is
+    never materialized), and deflates.  Converges exponentially in m
+    for smooth kernels.  Exhausted ranks (residual ≤ 0) produce zero
+    columns, so over-asking is safe.  Fully jittable: the data-dependent
+    pivots are `argmax` + `dynamic_slice` inside a `fori_loop`.
+
+    Two downstream uses (models/cg_fit.py):
+    * preconditioner M = U Uᵀ + diag(a) for CG on A = K + diag(a);
+    * the CLOSED-FORM posterior diagonal: for Σ = (K⁻¹ + D)⁻¹ with
+      K = U Uᵀ, Woodbury gives Σ = U (I + Uᵀ D U)⁻¹ Uᵀ exactly — a
+      deterministic O(N·m²) diag Σ, no stochastic estimator.
+    """
+    t = jnp.asarray(t)
+    params = jnp.asarray(params)
+    N = t.shape[0]
+    nug = jnp.asarray(nugget, dtype=t.dtype)
+    diag_r = kernel_diag(structure, params, t, nug)
+    U0 = jnp.zeros((N, rank), dtype=t.dtype)
+
+    def step(i, carry):
+        U, diag_r = carry
+        j = jnp.argmax(diag_r)
+        tj = lax.dynamic_index_in_dim(t, j, keepdims=False)
+        col = _kernel_column(structure, params, t, tj, j, nug)
+        uj = lax.dynamic_index_in_dim(U, j, axis=0, keepdims=False)
+        col = col - U @ uj
+        dj = lax.dynamic_index_in_dim(diag_r, j, keepdims=False)
+        ok = dj > 0
+        inv = jnp.where(ok, lax.rsqrt(jnp.maximum(dj, 1e-30)), 0.0)
+        l = col * inv
+        U = lax.dynamic_update_index_in_dim(U, l, i, axis=1)
+        diag_r = jnp.maximum(diag_r - l * l, 0.0)
+        return U, diag_r
+
+    U, diag_r = lax.fori_loop(0, rank, step, (U0, diag_r))
+    return U, diag_r        # diag_r = remaining diagonal residual
+
+
+def woodbury_apply(U, a, r):
+    """(U Uᵀ + diag(a))⁻¹ r via Woodbury (a > 0; r (N,) or (N, k)).
+
+    Returns a closure-free application:
+        M⁻¹ r = r/a − (1/a)·U·C⁻¹·Uᵀ(r/a),  C = I + Uᵀ diag(1/a) U.
+    For repeated applies (CG), prefactor C once with
+    ``jnp.linalg.cholesky`` outside and pass ``chol_C``."""
+    a = a[:, None] if r.ndim == 2 else a
+    ra = r / a
+    Ua = U / (a if r.ndim == 2 else a[:, None])
+    C = jnp.eye(U.shape[1], dtype=U.dtype) + U.T @ Ua
+    s = jnp.linalg.solve(C, U.T @ ra)
+    return ra - Ua @ s
 
 
 def lanczos(matvec, v0, n_steps: int):
