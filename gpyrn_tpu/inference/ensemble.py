@@ -141,10 +141,17 @@ def _traceable_priors(priors: Dict, names) -> bool:
 
 def _run_ensemble_device(gprn, priors, free_names, x0, mu0, var0, niter,
                          elbo_max_iter, a, seed, check_every, checkpoint,
-                         progress) -> "EnsembleResult":
+                         progress, mesh=None) -> "EnsembleResult":
     """Fully on-device chain segments: ``check_every`` stretch-move
     steps per jitted ``lax.scan`` call (device RNG, traceable priors,
-    warm-started ELBO fits carried per walker)."""
+    warm-started ELBO fits carried per walker).
+
+    With ``mesh``, the walker population (and its warm-start state)
+    is sharded over the mesh's ``dp`` axis, so the vmapped ELBO fits of
+    a chain segment run walker-parallel across chips; the stretch-move
+    partner gathers become XLA collectives.  Chain values are
+    bit-identical to the unsharded run (same device RNG stream) —
+    pinned by tests/test_sharding_samplers.py."""
     nwalkers, ndim = x0.shape
     half = nwalkers // 2
     prior_list = [priors[n] for n in free_names]
@@ -224,6 +231,14 @@ def _run_ensemble_device(gprn, priors, free_names, x0, mu0, var0, niter,
     x = jnp.asarray(x0)
     mu = jnp.asarray(mu0)
     var = jnp.asarray(var0)
+    if mesh is not None:
+        from gpyrn_tpu.parallel.mesh import DP_AXIS, shard_along
+        n_dp = mesh.shape[DP_AXIS]
+        if nwalkers % n_dp == 0:
+            x = shard_along(x, mesh, DP_AXIS)
+            mu = shard_along(mu, mesh, DP_AXIS)
+            var = shard_along(var, mesh, DP_AXIS)
+        # uneven walker counts fall back to the replicated layout
     lp, elbo, mu_n, var_n, conv = jax.jit(logpost)(x, mu, var)
     upd = (conv & jnp.isfinite(lp))[:, None]
     mu = jnp.where(upd, mu_n, mu)
@@ -281,7 +296,8 @@ def run_ensemble(gprn, priors: Dict, free_names, p0=None, niter: int = 500,
                  a: float = 2.0, seed: int = 0, check_every: int = 10,
                  checkpoint: Optional[str] = None,
                  progress: bool = False,
-                 device_chain: Optional[bool] = None) -> EnsembleResult:
+                 device_chain: Optional[bool] = None,
+                 mesh=None) -> EnsembleResult:
     """Run the native ensemble sampler on a fitted ``inference`` object.
 
     Two execution modes:
@@ -301,6 +317,11 @@ def run_ensemble(gprn, priors: Dict, free_names, p0=None, niter: int = 500,
     Both modes implement the Goodman-Weare stretch move and the
     reference's autocorrelation stopping rule; the host loop remains
     the behavioral reference (tests compare their statistics).
+
+    ``mesh``: a ``gpyrn_tpu.parallel.make_mesh`` mesh — shards the
+    walker population over its ``dp`` axis (device mode only; walker
+    count should be a multiple of the dp size, else the run silently
+    stays replicated).
     """
     free_names = list(free_names)
     ndim = len(free_names)
@@ -366,7 +387,12 @@ def run_ensemble(gprn, priors: Dict, free_names, p0=None, niter: int = 500,
     if use_device:
         return _run_ensemble_device(
             gprn, priors, free_names, x, mu_cache, var_cache, niter,
-            elbo_max_iter, a, seed, check_every, checkpoint, progress)
+            elbo_max_iter, a, seed, check_every, checkpoint, progress,
+            mesh=mesh)
+    if mesh is not None:
+        raise ValueError(
+            "mesh= requires the device chain (traceable gpyrn_tpu "
+            "priors); the host loop cannot shard walkers")
 
     def logpost(xw, mu_w, var_w):
         """Batched log-posterior; returns (logp, elbo, new_mu, new_var,
