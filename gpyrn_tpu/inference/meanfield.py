@@ -593,6 +593,68 @@ class inference:
         self.set_parameters(res.x)
         return res
 
+    def optimize_device(self, vars=None, n_sweeps=30, xatol=1e-4,
+                        fatol=1e-4, max_iter=None, n_restarts=1,
+                        spread=0.1, seed=0, adaptive=False):
+        """``optimize()`` without the host in the loop: scipy-trajectory
+        Nelder-Mead (inference/neldermead.py) over the non-frozen
+        hyperparameters, run entirely on the device as one jitted loop.
+
+        The objective is the negative ELBO after ``n_sweeps``
+        coordinate-ascent sweeps from the current variational state — a
+        deterministic, batched objective (unlike ``nELBO``, whose cache
+        warm-start makes each call depend on the previous one).  With
+        ``n_restarts > 1``, that many simplexes start from
+        log-normal-perturbed copies of the current parameters
+        (``spread`` in log units) and run in lockstep as one vmapped
+        population; the best restart wins.
+
+        Returns a dict with scipy-style fields ``x``/``fun``/``nit``/
+        ``nfev``/``success`` plus ``elbo`` at the optimum (the
+        variational cache is refreshed there).
+        """
+        self._require_components()
+        self._apply_vars_selection(vars)
+        free = ~self.frozen_mask
+        free_idx = np.flatnonzero(free)
+        if free_idx.size == 0:
+            raise ValueError("all parameters are frozen")
+        base = jnp.asarray(self.get_parameters(include_frozen=True))
+        theta0 = self._theta()
+        mu0, var0 = self._resolve_mu_var('previous', 'previous', theta0)
+        mu0, var0 = jnp.asarray(mu0), jnp.asarray(var0)
+        eng = self.engine
+        t = jnp.asarray(np.asarray(self.time, dtype=float))
+        y, yerr2 = jnp.asarray(self.y), jnp.asarray(self.yerr2)
+        idx = jnp.asarray(free_idx)
+
+        def objective(x):
+            theta = base.at[idx].set(x)
+            return -eng.elbo_fixed(theta, t, y, yerr2, mu0, var0, n_sweeps)
+
+        from gpyrn_tpu.inference.neldermead import (nelder_mead,
+                                                    nelder_mead_multistart)
+        x0 = base[idx]
+        if n_restarts > 1:
+            rng = np.random.default_rng(seed)
+            x0s = np.asarray(x0)[None, :] * np.exp(
+                spread * rng.standard_normal((n_restarts, free_idx.size)))
+            x0s[0] = np.asarray(x0)     # keep the unperturbed start
+            res, best = nelder_mead_multistart(
+                objective, jnp.asarray(x0s), xatol=xatol, fatol=fatol,
+                max_iter=max_iter, adaptive=adaptive)
+            pick = lambda a: np.asarray(a)[int(best)]   # noqa: E731
+            res = type(res)(*[pick(a) for a in res])
+        else:
+            res = nelder_mead(objective, x0, xatol=xatol, fatol=fatol,
+                              max_iter=max_iter, adaptive=adaptive)
+        x_best = np.asarray(res.x)
+        self.set_parameters(x_best)
+        elbo, *_ = self.ELBOcalc(mu='previous', var='previous')
+        return {'x': x_best, 'fun': float(res.fun), 'nit': int(res.nit),
+                'nfev': int(res.nfev), 'success': bool(res.converged),
+                'elbo': elbo}
+
     def optimize_adam(self, vars=None, n_steps=200, learning_rate=5e-2,
                       n_sweeps=30, transform='log', callback=None):
         """TPU-native gradient optimizer: optax Adam on the negative ELBO,
