@@ -9,8 +9,10 @@ vmapped, jitted device computation.
 Sampling happens in unconstrained log-space z = log θ (every GPRN
 hyperparameter is positive), with the Jacobian Σz folded into the target
 density.  Step size adapts during warmup by dual averaging towards a
-target acceptance rate; the mass matrix stays identity (log-space
-already roughly decorrelates scales).
+target acceptance rate; the mass matrix is adapted from warmup draws —
+diagonal (M⁻¹ = var z, the default) or dense (M⁻¹ = Stan-style
+regularized cov z, for strongly correlated posteriors such as
+amplitude/length-scale degeneracies).
 """
 from __future__ import annotations
 
@@ -78,8 +80,11 @@ def run_hmc(gprn, priors: Dict, n_samples: int = 500, n_warmup: int = 100,
         n_sweeps: coordinate-ascent sweeps inside each ELBO evaluation
             (warm-started from the object's cached variational state).
         mass_matrix: "diag" estimates a diagonal mass from the second
-            half of warmup phase 1 (M⁻¹ = var(z)); "identity" keeps the
-            round-1 behavior.
+            half of warmup phase 1 (M⁻¹ = var(z)); "dense" estimates a
+            full covariance (Stan-style n/(n+5) shrinkage towards a
+            small identity) — useful when hyperparameters are strongly
+            correlated in log-space; "identity" keeps the round-1
+            behavior.
         chunk: sampling steps per device call (checkpoint cadence).
         algorithm: "hmc" (fixed n_leapfrog trajectories) or "nuts"
             (multinomial no-U-turn trajectories, iterative tree
@@ -117,28 +122,37 @@ def run_hmc(gprn, priors: Dict, n_samples: int = 500, n_warmup: int = 100,
 
     val_and_grad = jax.value_and_grad(logpost)
 
+    # The mass matrix enters through two operators, each accepting a
+    # VECTOR (diagonal M⁻¹ — the "diag"/"identity" modes) or a MATRIX
+    # ("dense": M⁻¹ = regularized cov(z) from warmup, Stan-style).
+    # `m.ndim` is static under tracing, so one helper serves both.
+    def _minv(m, r):                        # M⁻¹ r
+        return m @ r if m.ndim == 2 else m * r
+
+    def _draw_r(m_draw, xi):                # r = A ξ with A Aᵀ = M
+        return m_draw @ xi if m_draw.ndim == 2 else m_draw * xi
+
     def leapfrog(z, r, eps, m_inv):
         _, g = val_and_grad(z)
         r = r + 0.5 * eps * g
         def body(_, zr):
             z, r = zr
-            z = z + eps * m_inv * r
+            z = z + eps * _minv(m_inv, r)
             _, g = val_and_grad(z)
             return z, r + eps * g
         z, r = jax.lax.fori_loop(0, n_leapfrog - 1, body, (z, r))
-        z = z + eps * m_inv * r
+        z = z + eps * _minv(m_inv, r)
         v, g = val_and_grad(z)      # final value doubles as lp(z_new)
         r = r + 0.5 * eps * g
         return z, r, v
 
     def kinetic(r, m_inv):
-        return 0.5 * jnp.sum(r * r * m_inv)
+        return 0.5 * jnp.dot(r, _minv(m_inv, r))
 
-    def hmc_step(rng, z, lp, eps, m_inv):
+    def hmc_step(rng, z, lp, eps, m_inv, m_draw):
         k1, k2 = jax.random.split(rng)
-        # momentum r ~ N(0, M) with M⁻¹ = m_inv (diag)
-        r0 = jax.random.normal(k1, z.shape, dtype=z.dtype) / \
-            jnp.sqrt(m_inv)
+        r0 = _draw_r(m_draw,
+                     jax.random.normal(k1, z.shape, dtype=z.dtype))
         z_new, r_new, lp_new = leapfrog(z, r0, eps, m_inv)
         log_accept = (lp_new - kinetic(r_new, m_inv)) - \
             (lp - kinetic(r0, m_inv))
@@ -177,13 +191,13 @@ def run_hmc(gprn, priors: Dict, n_samples: int = 500, n_warmup: int = 100,
         return _popcount((n & -n) - 1)
 
     def _turning(dz, r_a, r_b, m_inv):
-        return (jnp.dot(dz, m_inv * r_a) < 0) | \
-            (jnp.dot(dz, m_inv * r_b) < 0)
+        return (jnp.dot(dz, _minv(m_inv, r_a)) < 0) | \
+            (jnp.dot(dz, _minv(m_inv, r_b)) < 0)
 
     def _leapfrog1(z, r, g, eps, m_inv):
         """One leapfrog step reusing the cached gradient at z."""
         r = r + 0.5 * eps * g
-        z = z + eps * m_inv * r
+        z = z + eps * _minv(m_inv, r)
         lp, g = val_and_grad(z)
         r = r + 0.5 * eps * g
         return z, r, lp, g
@@ -253,10 +267,10 @@ def run_hmc(gprn, priors: Dict, n_samples: int = 500, n_warmup: int = 100,
          turning, diverging) = jax.lax.while_loop(cond, body, init)
         return z_e, r_e, g_e, zp, lpp, logw, turning, diverging, s_a, n_a
 
-    def nuts_step(rng, z, lp, eps, m_inv, max_depth=8):
+    def nuts_step(rng, z, lp, eps, m_inv, m_draw, max_depth=8):
         k_mom, k_tree = jax.random.split(rng)
-        r0 = jax.random.normal(k_mom, z.shape, dtype=z.dtype) / \
-            jnp.sqrt(m_inv)
+        r0 = _draw_r(m_draw,
+                     jax.random.normal(k_mom, z.shape, dtype=z.dtype))
         lp0 = jnp.where(jnp.isfinite(lp), lp, -jnp.inf)
         energy0 = -lp0 + kinetic(r0, m_inv)
         _, g0 = val_and_grad(z)
@@ -313,11 +327,11 @@ def run_hmc(gprn, priors: Dict, n_samples: int = 500, n_warmup: int = 100,
         return zp, lpp, alpha
 
     if algorithm == "nuts":
-        def _step1(rng, z, lp, eps, m_inv):
-            return nuts_step(rng, z, lp, eps, m_inv, max_depth)
-        vstep = jax.vmap(_step1, in_axes=(0, 0, 0, None, None))
+        def _step1(rng, z, lp, eps, m_inv, m_draw):
+            return nuts_step(rng, z, lp, eps, m_inv, m_draw, max_depth)
+        vstep = jax.vmap(_step1, in_axes=(0, 0, 0, None, None, None))
     elif algorithm == "hmc":
-        vstep = jax.vmap(hmc_step, in_axes=(0, 0, 0, None, None))
+        vstep = jax.vmap(hmc_step, in_axes=(0, 0, 0, None, None, None))
     else:
         raise ValueError(f"unknown algorithm {algorithm!r}")
     batched_logpost = jax.jit(jax.vmap(logpost))
@@ -337,14 +351,14 @@ def run_hmc(gprn, priors: Dict, n_samples: int = 500, n_warmup: int = 100,
     # -- warmup: dual-averaging step-size adaptation, ONE scanned device
     #    call per phase (phase 1 identity mass; phase 2 re-adapts eps
     #    around the diagonal mass estimated from phase 1's second half) --
-    def warmup_scan(z, lp, m_inv, n_steps, eps0, key):
+    def warmup_scan(z, lp, m_inv, m_draw, n_steps, eps0, key):
         mu_da = jnp.log(10.0 * eps0)
 
         def step(carry, key):
             z, lp, H_bar, log_eps, log_eps_bar, i = carry
             eps = jnp.exp(log_eps)
             ck = jax.random.split(key, n_chains)
-            z, lp, alpha = vstep(ck, z, lp, eps, m_inv)
+            z, lp, alpha = vstep(ck, z, lp, eps, m_inv, m_draw)
             a = jnp.mean(alpha)
             frac = 1.0 / (i + 1.0 + 10.0)
             H_bar = (1 - frac) * H_bar + frac * (target_accept - a)
@@ -359,33 +373,54 @@ def run_hmc(gprn, priors: Dict, n_samples: int = 500, n_warmup: int = 100,
             step, init, jax.random.split(key, n_steps))
         return z, lp, jnp.exp(log_eps_bar), zs
 
-    jwarm = jax.jit(warmup_scan, static_argnums=(3,))
+    jwarm = jax.jit(warmup_scan, static_argnums=(4,))
     key = jax.random.PRNGKey(seed)
     key, k1, k2 = jax.random.split(key, 3)
     m_inv = jnp.ones(ndim)
+    m_draw = jnp.ones(ndim)     # A with A Aᵀ = M (vector ≡ diagonal)
     n1 = n_warmup if mass_matrix == "identity" else n_warmup // 2
     eps_bar = jnp.asarray(float(initial_step))
     if n1 > 0:
-        z, lp, eps_bar, zs = jwarm(z, lp, m_inv, n1, eps_bar, k1)
+        z, lp, eps_bar, zs = jwarm(z, lp, m_inv, m_draw, n1, eps_bar, k1)
         zs2 = np.asarray(zs)[n1 // 2:].reshape(-1, ndim)
     else:       # n_warmup=0: no adaptation at all — sample at
         zs2 = np.zeros((0, ndim))          # initial_step directly
-    if mass_matrix == "diag" and n_warmup > 1 and zs2.shape[0] >= 50:
-        # M⁻¹ = var(z) over phase-1's second half.  Only with enough
-        # samples: a variance estimated from a barely-moved short chain
-        # is near-zero, the dual averaging then inflates eps to
-        # compensate (eps·√m_inv is what matters) and the sampler lands
-        # on a degenerate scale (observed: eps≈4.5, 2 unique samples).
-        # Clipped to two decades around the median for the same reason.
+    if mass_matrix in ("diag", "dense") and n_warmup > 1 \
+            and zs2.shape[0] >= 50:
+        # M⁻¹ from phase-1's second half.  Only with enough samples: a
+        # variance estimated from a barely-moved short chain is
+        # near-zero, the dual averaging then inflates eps to compensate
+        # (eps·√m_inv is what matters) and the sampler lands on a
+        # degenerate scale (observed: eps≈4.5, 2 unique samples).
         var_z = np.var(zs2, axis=0)
         scale = np.median(var_z[var_z > 0]) if np.any(var_z > 0) else 1.0
-        m_inv = jnp.asarray(np.clip(var_z, 1e-2 * scale, 1e2 * scale))
-        z, lp, eps_bar, _ = jwarm(z, lp, m_inv, n_warmup - n1,
+        var_c = np.clip(var_z, 1e-2 * scale, 1e2 * scale)
+        if mass_matrix == "dense" and ndim > 1:
+            # Stan-style regularized covariance: shrink towards a small
+            # multiple of the identity, weight n/(n+5)
+            n_s = zs2.shape[0]
+            w = n_s / (n_s + 5.0)
+            cov = w * np.cov(zs2.T) + (1 - w) * 1e-3 * np.eye(ndim)
+            cov[np.arange(ndim), np.arange(ndim)] = np.maximum(
+                np.diag(cov), 1e-2 * scale)     # same degeneracy guard
+            try:
+                C = np.linalg.cholesky(cov)      # Σ = C Cᵀ, M = Σ⁻¹
+                m_inv = jnp.asarray(cov)
+                # r ~ N(0, M): r = C⁻ᵀ ξ, since C⁻ᵀ C⁻¹ = M
+                m_draw = jnp.asarray(
+                    np.linalg.solve(C.T, np.eye(ndim)))
+            except np.linalg.LinAlgError:
+                m_inv = jnp.asarray(var_c)       # fall back to diag
+                m_draw = 1.0 / jnp.sqrt(m_inv)
+        else:
+            m_inv = jnp.asarray(var_c)
+            m_draw = 1.0 / jnp.sqrt(m_inv)
+        z, lp, eps_bar, _ = jwarm(z, lp, m_inv, m_draw, n_warmup - n1,
                                   eps_bar, k2)
     elif n_warmup - n1 > 0:
         # not enough phase-1 samples for a mass estimate: finish the
         # warmup budget with identity mass instead of truncating it
-        z, lp, eps_bar, _ = jwarm(z, lp, m_inv, n_warmup - n1,
+        z, lp, eps_bar, _ = jwarm(z, lp, m_inv, m_draw, n_warmup - n1,
                                   eps_bar, k2)
     eps = eps_bar
 
@@ -394,7 +429,7 @@ def run_hmc(gprn, priors: Dict, n_samples: int = 500, n_warmup: int = 100,
         def step(carry, key):
             z, lp = carry
             ck = jax.random.split(key, n_chains)
-            z, lp, alpha = vstep(ck, z, lp, eps, m_inv)
+            z, lp, alpha = vstep(ck, z, lp, eps, m_inv, m_draw)
             return (z, lp), (z, lp, jnp.mean(alpha))
         (z, lp), (zs, lps, alphas) = jax.lax.scan(
             step, (z, lp), jax.random.split(key, n_steps))

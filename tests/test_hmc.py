@@ -154,3 +154,39 @@ def test_nuts_agrees_with_hmc_posterior(tiny_dataset):
     # posterior WIDTHS must agree too — a frozen chain has ~zero std
     # and once slipped past a mean-only check (the logw carry bug)
     assert 0.2 * c_h.std() < c_n.std() < 5.0 * c_h.std()
+
+
+@pytest.mark.slow
+def test_dense_mass_matrix_smoke(tiny_dataset):
+    """mass_matrix='dense' adapts a full covariance from warmup and
+    samples with it (r = C^-T xi momentum draws, M^-1 = cov matvecs in
+    leapfrog/kinetic/U-turn): chains stay finite and positive, for both
+    HMC and NUTS."""
+    t, y, yerr = tiny_dataset
+    gprn = g.inference(1, t, y, yerr)
+    gprn.set_components([g.covfunc.Periodic(1.0, 10.0, 0.5)],
+                        [g.covfunc.SquaredExponential(1.0, 5.0)],
+                        [None], [0.1])
+    gprn.ELBOcalc()
+    priors = {
+        'node1.theta': pr.LogNormal(0.0, 0.5),
+        'node1.P': pr.Normal(10.0, 1.0),
+        'node1.ell': pr.LogNormal(np.log(0.5), 0.5),
+        'weight1.theta': pr.LogNormal(0.0, 0.5),
+        'weight1.ell': pr.LogNormal(np.log(5.0), 0.5),
+        'jitter1': pr.LogNormal(np.log(0.1), 0.5),
+    }
+    # n_warmup=60 -> phase 1 = 30 steps, second half 15 x 2 chains = 30
+    # rows < 50: bump chains to 4 so the dense estimate actually runs
+    res = run_hmc(gprn, priors, n_samples=6, n_warmup=60, n_chains=4,
+                  n_leapfrog=3, n_sweeps=6, mass_matrix='dense',
+                  p0=gprn.get_parameters(), seed=1)
+    assert res.chain.shape == (6, 4, 6)
+    assert np.all(res.chain > 0)
+    assert np.all(np.isfinite(res.log_prob))
+    res_n = run_hmc(gprn, priors, n_samples=4, n_warmup=60, n_chains=4,
+                    n_sweeps=6, algorithm='nuts', max_depth=3,
+                    mass_matrix='dense', p0=gprn.get_parameters(),
+                    seed=2)
+    assert np.all(np.isfinite(res_n.log_prob))
+    assert np.all(res_n.chain > 0)
