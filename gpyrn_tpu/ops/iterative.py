@@ -35,8 +35,8 @@ from jax import lax
 from gpyrn_tpu.ops import kernels as _k
 
 __all__ = ["kernel_matvec", "cg_solve", "slq_logdet", "lanczos",
-           "df64_kernel_matvec", "cg_refined", "kernel_diag",
-           "pivoted_cholesky", "woodbury_apply"]
+           "lanczos_vectors", "df64_kernel_matvec", "cg_refined",
+           "kernel_diag", "pivoted_cholesky", "woodbury_apply"]
 
 
 def kernel_matvec(structure, params, t, v, nugget=0.0, chunk: int = 2048):
@@ -214,6 +214,52 @@ def woodbury_apply(U, a, r):
     C = jnp.eye(U.shape[1], dtype=U.dtype) + U.T @ Ua
     s = jnp.linalg.solve(C, U.T @ ra)
     return ra - Ua @ s
+
+
+def lanczos_vectors(matvec, v0, n_steps: int):
+    """Lanczos with the basis kept and FULLY re-orthogonalized:
+    returns ``(Q, alphas, betas)`` with Q (n_steps, N) orthonormal and
+    T = tridiag(alphas, betas) = Q A Qᵀ.
+
+    Unlike :func:`lanczos` (basis discarded — fine for SLQ traces),
+    downstream low-rank inverses (the LOVE predictive-variance cache,
+    models/iterative.py) need Qᵀ f(T) Q itself, where ghost eigenvalues
+    from lost orthogonality would corrupt the result — hence the two
+    Gram-Schmidt passes per step (O(n_steps·N) each, a GEMV against the
+    stored basis: rows beyond the current step are zero so no masking
+    is needed).  On Krylov-space exhaustion (beta ≈ 0) the remaining
+    steps emit identity diagonal entries and zero basis rows, so
+    T stays positive definite and the dead rows contribute nothing.
+    """
+    scale = jnp.linalg.norm(v0)
+    v0 = v0 / scale
+    N = v0.shape[0]
+    Q0 = jnp.zeros((n_steps, N), v0.dtype).at[0].set(v0)
+
+    def step(i, carry):
+        Q, alphas, betas, dead = carry
+        v = Q[i]
+        w = matvec(v)
+        alpha = jnp.dot(w, v)
+        # two-pass full reorthogonalization against the whole stored
+        # basis (zero rows beyond i project to zero automatically)
+        for _ in range(2):
+            w = w - Q.T @ (Q @ w)
+        beta = jnp.linalg.norm(w)
+        exhausted = dead | (beta < 1e-7 * jnp.maximum(scale, 1.0))
+        alphas = alphas.at[i].set(jnp.where(dead, 1.0, alpha))
+        betas = betas.at[i].set(jnp.where(exhausted, 0.0, beta))
+        q_next = jnp.where(exhausted, jnp.zeros_like(w),
+                           w / jnp.maximum(beta, 1e-30))
+        # out-of-bounds row (last step) is dropped by JAX scatter rules
+        Q = Q.at[i + 1].set(q_next)
+        return Q, alphas, betas, exhausted
+
+    Q, alphas, betas, _ = lax.fori_loop(
+        0, n_steps, step,
+        (Q0, jnp.zeros(n_steps, v0.dtype), jnp.zeros(n_steps, v0.dtype),
+         jnp.asarray(False)))
+    return Q, alphas, betas
 
 
 def lanczos(matvec, v0, n_steps: int):
