@@ -107,12 +107,19 @@ def make_multistart_step(engine, t, y, yerr2, n_sweeps: int = 25,
 def multistart_optimize(gprn, n_restarts: int = 8, n_steps: int = 100,
                         learning_rate: float = 3e-2, n_sweeps: int = 25,
                         jitter_scale: float = 0.3, seed: int = 0,
-                        mesh: Optional[Mesh] = None):
-    """Run a sharded population of adam ascents from perturbed inits and
-    install the best hyperparameters into ``gprn``.
+                        mesh: Optional[Mesh] = None,
+                        method: str = "adam"):
+    """Run a sharded population of optimizer restarts from perturbed
+    inits and install the best hyperparameters into ``gprn``.
+
+    ``method='adam'`` (default): gradient ascents through the sweeps.
+    ``method='nm'``: gradient-free scipy-trajectory Nelder-Mead
+    simplexes (inference/neldermead.py) in lockstep, ``n_steps`` as the
+    iteration cap — the sharded-population version of the reference's
+    single host Nelder-Mead run (meanfield.py:1149).
 
     Returns a dict with the best ELBO, best parameters, and the full
-    per-restart trajectories' final ELBOs.
+    per-restart final ELBOs.
     """
     rng = np.random.default_rng(seed)
     theta0 = gprn.get_parameters(include_frozen=True)
@@ -122,6 +129,12 @@ def multistart_optimize(gprn, n_restarts: int = 8, n_steps: int = 100,
         jitter_scale * rng.standard_normal((B, theta0.size)))
     inits[:, frozen] = theta0[frozen]
     inits[0] = theta0                       # keep one unperturbed restart
+
+    if method == "nm":
+        return _multistart_nm(gprn, inits, frozen, theta0, n_steps,
+                              n_sweeps, mesh)
+    if method != "adam":
+        raise ValueError(f"unknown method {method!r}")
 
     eng = gprn.engine
     init_fn, step_fn, theta_of = make_multistart_step(
@@ -147,3 +160,48 @@ def multistart_optimize(gprn, n_restarts: int = 8, n_steps: int = 100,
     elbo, *_ = gprn.ELBOcalc(mu='init', var='init')
     return {"elbo": float(elbo), "theta": theta_best,
             "restart_elbos": best_elbo, "winner": best}
+
+
+def _multistart_nm(gprn, inits, frozen, theta0, n_steps, n_sweeps, mesh):
+    """Population Nelder-Mead: one simplex per restart, vmapped in
+    lockstep, the restart axis dp-sharded over the mesh.  The objective
+    is −ELBO after ``n_sweeps`` coordinate-ascent sweeps from the
+    'init' variational state of the CANDIDATE's own theta (pure —
+    every simplex vertex is self-contained, so the vmapped loop needs
+    no carried cache)."""
+    from gpyrn_tpu.inference.neldermead import nelder_mead
+
+    eng = gprn.engine
+    t = jnp.asarray(np.asarray(gprn.time, dtype=float))
+    y = jnp.asarray(gprn.y)
+    yerr2 = jnp.asarray(gprn.yerr2)
+    free_idx = jnp.asarray(np.flatnonzero(~frozen))
+    base = jnp.asarray(theta0)
+
+    def objective(x):
+        theta = base.at[free_idx].set(x)
+        mu0, var0 = eng.init_mu_var(theta, y)
+        return -eng.elbo_fixed(theta, t, y, yerr2, mu0, var0, n_sweeps)
+
+    x0s = jnp.asarray(inits[:, ~frozen])
+    if mesh is not None and x0s.shape[0] % mesh.shape[DP_AXIS] == 0:
+        # shard the restart axis over dp; if the population is not
+        # divisible by dp, leave it replicated (still correct, just
+        # not distributed)
+        x0s = shard_along(x0s, mesh, DP_AXIS, 0)
+
+    @jax.jit
+    def run_population(x0s):
+        run = lambda x0: nelder_mead(objective, x0,       # noqa: E731
+                                     max_iter=n_steps)
+        return jax.vmap(run)(x0s)
+
+    res = run_population(x0s)
+    elbos = -np.asarray(res.fun)
+    best = int(np.argmax(elbos))
+    theta_best = np.asarray(base.at[free_idx].set(res.x[best]))
+    gprn.set_parameters(theta_best)
+    elbo, *_ = gprn.ELBOcalc(mu='init', var='init')
+    return {"elbo": float(elbo), "theta": theta_best,
+            "restart_elbos": elbos, "winner": best,
+            "nit": np.asarray(res.nit), "converged": np.asarray(res.converged)}

@@ -84,3 +84,31 @@ def test_dryrun_multichip_entrypoint():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(len(jax.devices()))
+
+
+@pytest.mark.slow
+def test_multistart_nm_sharded_improves_elbo():
+    """The dp-sharded Nelder-Mead population improves on the starting
+    point and installs a finite winner.  (No sharded-vs-unsharded
+    trajectory equality: a sharded compile is a different XLA program,
+    and NM trajectories are chaotic w.r.t. one-ULP objective
+    differences — single-eval sharded equality is covered by
+    test_lattice_sharded_elbo_matches_unsharded.)"""
+    gprn = _problem()
+    e0 = gprn.ELBO
+    B = len(jax.devices())
+    mesh = make_mesh(shape=(B, 1))
+    with use_mesh(mesh):
+        out_s = multistart_optimize(gprn, n_restarts=B, n_steps=30,
+                                    n_sweeps=8, mesh=mesh, seed=2,
+                                    method='nm')
+    assert np.isfinite(out_s["elbo"]) and out_s["elbo"] >= e0 - 1e-6
+    assert out_s["restart_elbos"].shape == (B,)
+    assert 0 <= out_s["winner"] < B
+    assert out_s["nit"].shape == (B,)
+
+
+def test_multistart_unknown_method_raises():
+    gprn = _problem()
+    with pytest.raises(ValueError, match="unknown method"):
+        multistart_optimize(gprn, n_restarts=2, method='bfgs')
