@@ -304,39 +304,32 @@ def measure_north_star():
             out["ns5000_vs_baseline"] = round(ref_30sweep_s / total, 1)
 
         # -- fidelity at the north-star N itself (round-2 verdict item
-        #    1): continue the f32 fit to ITS fixed point, run df64
-        #    refine sweeps to STATIONARITY (|Δ| < 1e-7 rel), and compare
-        #    the result against an f64 CPU oracle refining from the SAME
-        #    state with the same sweep count --
+        #    1): drive the df64 refine to TRUE stationarity with the
+        #    Anderson-accelerated fixed-point solver (plain sweeps
+        #    converge at ρ ≈ 0.966 here — ~300 sweeps; Anderson does it
+        #    in ~35), then compare 3 further df64 sweeps against an f64
+        #    CPU oracle running the SAME 3 sweeps from the SAME
+        #    converged state: equal sweep counts from equal states make
+        #    this an operator-fidelity measurement at N=5000, not a
+        #    comparison of two different mid-ascent points --
+        from gpyrn_tpu.models.exact_blocked import refine_converged
         mu_c, var_c, it_c, _ = _chunked_fit(
-            g5, NS_N, tol=1e-7, chunk=400, max_chunks=10,
+            g5, NS_N, tol=1e-7, chunk=400, max_chunks=2,
             state=(mu32, var32))
-        e_prev = None
-        stat_rel = None
-        mu_r, var_r = np.float64(1.0) * mu_c, np.float64(1.0) * var_c
-        sweeps_used = 0
-        for _s in range(12):      # one sweep per call (axon kill limit)
-            e_now, mu_r, var_r = refine_exact(g5, mu_r, var_r, n_sweeps=1)
-            sweeps_used += 1
-            if e_prev is not None:
-                stat_rel = abs(e_now - e_prev) / abs(e_now)
-                if stat_rel < 1e-7:
-                    break
-            e_prev = e_now
-        out["ns5000_stationarity_rel"] = stat_rel
-        out["ns5000_refine_sweeps_to_stationarity"] = sweeps_used
-        out["ns5000_elbo_converged"] = e_now
+        e_conv, mu_r, var_r, rinfo = refine_converged(
+            g5, np.float64(1.0) * mu_c, np.float64(1.0) * var_c,
+            rel_tol=1e-8, max_evals=80)
+        out["ns5000_stationarity_rel"] = rinfo["stationarity_rel"]
+        out["ns5000_refine_sweeps_to_stationarity"] = rinfo["sweeps"]
+        out["ns5000_elbo_converged"] = e_conv
         state5 = os.path.join(HERE, ".bench_state_n5000.npz")
-        np.savez(state5, mu=mu_c, var=var_c)
-        e64_5k = _f64_refine_subprocess(NS_N, state5,
-                                        n_sweeps=min(sweeps_used, 6),
+        np.savez(state5, mu=mu_r, var=var_r)
+        e_df3, _, _ = refine_exact(g5, mu_r, var_r, n_sweeps=3)
+        e64_5k = _f64_refine_subprocess(NS_N, state5, n_sweeps=3,
                                         timeout=3000)
         if e64_5k is not None:
-            # both sides are at stationarity (<1e-7 per sweep), so a
-            # sweep-count mismatch beyond the oracle's cap contributes
-            # < 1e-6 — inside the north-star tolerance
-            out["parity_N5000_rel_err"] = abs(e_now - e64_5k) / abs(e64_5k)
-            out["parity_N5000_elbo_df64"] = e_now
+            out["parity_N5000_rel_err"] = abs(e_df3 - e64_5k) / abs(e64_5k)
+            out["parity_N5000_elbo_df64"] = e_df3
             out["parity_N5000_elbo_f64"] = e64_5k
     except Exception as e:      # noqa: BLE001 — bench must always emit
         out["ns_error"] = f"{type(e).__name__}: {e}"
