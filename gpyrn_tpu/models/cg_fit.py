@@ -146,13 +146,16 @@ def make_cg_fit(spec: GPRNSpec, rank: int = 128, cg_tol: float = 1e-6,
         μ uses the EXACT kernel (chunked matvecs + preconditioned CG);
         diag Σ uses the diagonal-corrected compression
         B := U Uᵀ + diag(g) ≈ K + νI (diag matched exactly), for which
-        Woodbury keeps everything closed-form at O(N·m²):
+        Woodbury keeps everything closed-form at O(N·m²) via the
+        PRODUCT identity (see the inline derivation below):
 
-            Σ_B = B − B (B + diag(d_add))⁻¹ B,
-            (B + diag(h))⁻¹ = diag(1/h) − (U/h) C₂⁻¹ (U/h)ᵀ,
-            C₂ = I + Uᵀ diag(1/h) U,   h = g + d_add,
+            Σ_B = B (B + diag(a))⁻¹ diag(a),  a = d_add,
+            diag Σ_B = a·g/h + a²·colsum(V₂²),
+            V₂ = L₂⁻¹ (U/h)ᵀ,  C₂ = L₂L₂ᵀ = I + Uᵀ diag(1/h) U,
+            h = g + a,
 
-        so the truncation error in diag Σ is second order in the
+        every term positive — no cancellation at any a/diag(B) ratio —
+        and the truncation error in diag Σ is second order in the
         OFF-diagonal pivoting residual (the diagonal part is exact)."""
         Krhs = kernel_matvec(structure, cp, t, pred,
                              nugget=nu, chunk=chunk)
@@ -161,12 +164,36 @@ def make_cg_fit(spec: GPRNSpec, rank: int = 128, cg_tol: float = 1e-6,
         C2 = jnp.eye(rank, dtype=U.dtype) + U.T @ Uh
         L2 = jnp.linalg.cholesky(C2)
 
-        def precond(r):
-            # M = B + diag(d_add) = U Uᵀ + diag(h) — the exact inverse
-            # of the compressed A, so CG converges in a handful of steps
-            ra = r / h[:, None]
-            s = jax.scipy.linalg.cho_solve((L2, True), U.T @ ra)
-            return ra - Uh @ s
+        # Preconditioner apply in SPLIT form: M⁻¹r = E (Eᵀ r) with
+        # M⁻¹ = E Eᵀ for M = U Uᵀ + diag(h) — the exact inverse of the
+        # compressed A, so CG converges in a handful of steps.
+        #   E = diag(1/√h) (I + Ũ Ũᵀ)^(−1/2),  Ũ = U/√h,
+        #   (I + Ũ Ũᵀ)^(−1/2) v = v − ŨQ diag((1−(1+λ)^(−1/2))/λ) QᵀŨᵀ v
+        # via the m×m eigendecomposition Ũᵀ Ũ = Q diag(λ) Qᵀ.
+        # Why not the one-shot Woodbury apply: when U Uᵀ ≫ diag(h)
+        # (smooth kernel, large N) it is the small difference of two
+        # huge terms — its f32 rounding noise scales as eps·λmax and
+        # EXCEEDS the true value, so the computed map turns INDEFINITE
+        # (measured rᵀM⁻¹r < 0 at N=50k), β = rz'/rz explodes, and CG
+        # NaNs within two iterations.  Each root-apply cancels only by
+        # √λmax (relative error ~ eps·√λmax ≈ 1e-4 here), so the
+        # composition keeps rᵀz = ‖Eᵀr‖²(1 + O(1e-4)) positive.
+        sqrt_h = jnp.sqrt(h)
+        Ut = U / sqrt_h[:, None]
+        lam, Qe = jnp.linalg.eigh(Ut.T @ Ut)
+        lam = jnp.maximum(lam, 0.0)
+        w = jnp.where(lam > 1e-6,
+                      (1.0 - 1.0 / jnp.sqrt(1.0 + lam))
+                      / jnp.maximum(lam, 1e-30),
+                      0.5 - 0.375 * lam)      # series at λ → 0
+        Uq = Ut @ Qe                           # (N, m)
+
+        def root_apply(v):                     # (I + Ũ Ũᵀ)^(−1/2) v
+            return v - Uq @ (w[:, None] * (Uq.T @ v))
+
+        def precond(r):                        # M⁻¹ r = E (Eᵀ r)
+            u = root_apply(r / sqrt_h[:, None])
+            return root_apply(u) / sqrt_h[:, None]
 
         def mv(x):
             return kernel_matvec(structure, cp, t, x,
@@ -178,30 +205,22 @@ def make_cg_fit(spec: GPRNSpec, rank: int = 128, cg_tol: float = 1e-6,
         sig_rhs = Krhs - kernel_matvec(structure, cp, t, t1[:, 0],
                                        nugget=nu, chunk=chunk)
 
-        # diag Σ_B: two exact forms with COMPLEMENTARY f32 cancellation,
-        # P = (B + diag(d_add))⁻¹:
-        #   (i)  diag Σ = diag(B) − diag(B P B)        — safe for
-        #        d_add ≳ diag(B) (weak data; BPB ≪ B, no cancellation);
-        #   (ii) diag Σ = d_add ∘ (1 − d_add ∘ diag P) — from
-        #        Σ = diag(d_add) − diag(d_add) P diag(d_add); safe for
-        #        d_add ≲ diag(B) (strong data — form (i) cancels
-        #        catastrophically there: abs err ~ eps·diag(B) while the
-        #        true value shrinks to ~d_add, which produced NEGATIVE
-        #        f32 variances before this split)
+        # diag Σ_B via the PRODUCT identity — NO subtraction anywhere:
+        #   Σ_B = B − B P B = B P diag(a),  P = (B + diag(a))⁻¹,
+        #   P = diag(1/h) − Uh C₂⁻¹ Uhᵀ  (Woodbury, h = g + a),
+        #   P U = Uh C₂⁻¹  (because C₂ = I + Uᵀ Uh), hence
+        #   diag(U Uᵀ P) = s/h and diag(diag(g) P) = g/h − g·s/h²
+        #   with s_i = U_i C₂⁻¹ U_iᵀ = h²·colsum(V₂²); summing,
+        #   diag Σ_B = a·g/h + a²·colsum(V₂²) — every term POSITIVE.
+        # The difference forms (diag(B) − diag(BPB), and
+        # a·(1 − a·diagP)) both cancel catastrophically in f32 at
+        # opposite ends of the a/diag(B) ratio: at N=50k they produced
+        # zero-clamped variances, whose reciprocals then overflowed the
+        # next sweep's CG into NaN.
         V2 = lax.linalg.triangular_solve(L2, Uh.T, left_side=True,
                                          lower=True)         # (m, N)
-        diagP = 1.0 / h - jnp.sum(V2 * V2, axis=0)
-        G2 = U.T @ Uh                                        # (m, m)
-        W = Uh - Uh @ jax.scipy.linalg.cho_solve((L2, True), G2)  # P U
-        M2 = U.T @ W                                         # Uᵀ P U
-        rowUU = jnp.sum(U * U, axis=1)
-        diagB = g + rowUU
-        diagBPB = (g * g * diagP
-                   + 2.0 * g * jnp.sum(W * U, axis=1)
-                   + jnp.sum((U @ M2) * U, axis=1))
-        dS = jnp.where(d_add < diagB,
-                       d_add * (1.0 - d_add * diagP),
-                       diagB - diagBPB)
+        dS = (d_add * g / h
+              + (d_add * d_add) * jnp.sum(V2 * V2, axis=0))
         dS = jnp.maximum(dS, jnp.finfo(U.dtype).tiny)
         return sig_rhs, dS
 

@@ -122,12 +122,19 @@ def cg_solve(matvec, b, tol: float = 1e-8, maxiter: int = 1000,
         x, r, z, p, rz, it = state
         Ap = matvec(p)
         pAp = jnp.sum(p * Ap, axis=0)
-        alpha = jnp.where(pAp > 0, rz / jnp.maximum(pAp, 1e-30), 0.0)
-        x = x + alpha[None, :] * p
-        r = r - alpha[None, :] * Ap
+        # breakdown guards: a column whose curvature or rz is
+        # non-positive / non-finite (f32 residual floor, or an
+        # indefinite computed preconditioner) freezes its x and
+        # RESTARTS its search direction at z instead of NaN-ing the
+        # whole batch (0·inf etc. are avoided by select, not arithmetic)
+        ok = (pAp > 0) & jnp.isfinite(pAp) & (rz > 0)
+        alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
+        x = jnp.where(ok[None, :], x + alpha[None, :] * p, x)
+        r = jnp.where(ok[None, :], r - alpha[None, :] * Ap, r)
         z = apply_M(r)
         rz_new = jnp.sum(r * z, axis=0)
-        beta = rz_new / jnp.maximum(rz, 1e-30)
+        beta = jnp.where(ok & (rz_new > 0) & jnp.isfinite(rz_new),
+                         rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
         p = z + beta[None, :] * p
         return x, r, z, p, rz_new, it + 1
 

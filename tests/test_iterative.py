@@ -174,3 +174,47 @@ def test_cg_warm_restart_equivalent(problem):
     r_b = np.linalg.norm(np.asarray(matvec(jnp.asarray(x_b))) - b)
     assert r_b < r_a * 0.1
     assert r_b < np.linalg.norm(b) * 1e-3
+
+
+def test_cg_breakdown_guard_no_nan():
+    """A column whose curvature overflows to inf (the f32 blow-up mode
+    measured at N=50k before the guards) must freeze gracefully, never
+    NaN the batch: 0·inf paths are avoided by select, not arithmetic."""
+    N = 32
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal((N, 2)).astype(np.float32))
+
+    def bad_matvec(v):
+        # huge SPD diagonal on column 1 only -> pAp overflows f32
+        scale = jnp.asarray([1.0, 3e38], dtype=jnp.float32)
+        return v * scale[None, :]
+
+    x, it = cg_solve(bad_matvec, b, tol=1e-6, maxiter=20)
+    assert bool(jnp.all(jnp.isfinite(x)))
+    # the well-conditioned column still solves its system
+    np.testing.assert_allclose(np.asarray(x[:, 0]), np.asarray(b[:, 0]),
+                               rtol=1e-5)
+
+
+def test_cg_indefinite_preconditioner_guard():
+    """An (erroneously) indefinite preconditioner apply — the f32
+    Woodbury-cancellation failure that produced rᵀM⁻¹r < 0 at N=50k —
+    must not NaN the solve; the guards restart the direction and the
+    solution stays finite."""
+    N = 24
+    rng = np.random.default_rng(1)
+    d = 1.0 + rng.random(N).astype(np.float32)
+    b = jnp.asarray(rng.standard_normal(N).astype(np.float32))
+
+    def matvec(v):
+        return d[:, None] * v if v.ndim == 2 else d * v
+
+    flip = jnp.asarray(np.where(np.arange(N) % 2, -1.0, 1.0),
+                       dtype=jnp.float32)
+
+    def bad_precond(r):
+        return flip[:, None] * r        # indefinite "M^-1"
+
+    x, it = cg_solve(matvec, b, tol=1e-6, maxiter=50,
+                     precond_apply=bad_precond)
+    assert bool(jnp.all(jnp.isfinite(x)))
