@@ -80,3 +80,46 @@ def test_mixed_multi_output(multi_dataset):
     em, mu, var, it = m.ELBOcalc(precision='mixed', mu='init', var='init')
     assert np.isfinite(em)
     assert em == pytest.approx(e_star, rel=1e-3)
+
+
+def test_mixed_refine_converge_lands_on_fixed_point(gprn):
+    """refine_sweeps='converge' (Anderson fixed-point polish) must land
+    on the f64 fixed-point ELBO, beat the fixed-3-sweep polish, and
+    report the sweep count in iterNumber."""
+    eng = gprn.engine
+    theta = gprn._theta()
+    t = np.asarray(gprn.time, dtype=float)
+    mu0, var0 = eng.init_mu_var(theta, gprn.y)
+    mu64, var64, it, conv = eng.fit_state(theta, t, gprn.y, gprn.yerr2,
+                                          mu0, var0, 20000, 1e-13)
+    e_star = float(eng.elbo_refine(theta, t, gprn.y, gprn.yerr2,
+                                   mu64, var64, 1)[0])
+
+    gprn.refine_method = 'f64'
+    gprn.mixed_tol = 1e-3            # stop the f32 bulk early on purpose
+    e3, *_ = gprn.ELBOcalc(precision='mixed', mu='init', var='init')
+    gprn.refine_sweeps = 'converge'
+    gprn.refine_tol = 1e-9
+    ec, _, _, n_it = gprn.ELBOcalc(precision='mixed', mu='init',
+                                   var='init')
+    assert ec == pytest.approx(e_star, rel=1e-7)
+    assert ec >= e3 - 1e-9
+    assert n_it > 0
+
+
+@pytest.mark.slow
+def test_mixed_refine_converge_df64(gprn):
+    """The same contract on the df64 (on-chip double-single) polish."""
+    eng = gprn.engine
+    theta = gprn._theta()
+    t = np.asarray(gprn.time, dtype=float)
+    mu0, var0 = eng.init_mu_var(theta, gprn.y)
+    mu64, var64, it, conv = eng.fit_state(theta, t, gprn.y, gprn.yerr2,
+                                          mu0, var0, 20000, 1e-13)
+    e_star = float(eng.elbo_refine(theta, t, gprn.y, gprn.yerr2,
+                                   mu64, var64, 1)[0])
+    gprn.refine_method = 'df64'
+    gprn.refine_sweeps = 'converge'
+    gprn.refine_tol = 1e-9
+    ec, *_ = gprn.ELBOcalc(precision='mixed', mu='init', var='init')
+    assert ec == pytest.approx(e_star, rel=1e-7)
