@@ -325,6 +325,18 @@ def run_ensemble(gprn, priors: Dict, free_names, p0=None, niter: int = 500,
     """
     free_names = list(free_names)
     ndim = len(free_names)
+    # argument validation up front — these must not depend on walker
+    # initialization state
+    if mesh is not None and device_chain is False:
+        raise ValueError(
+            "mesh= requires the device chain (traceable gpyrn_tpu "
+            "priors); the host loop cannot shard walkers")
+    n_free = int(np.count_nonzero(~gprn.frozen_mask))
+    if n_free != ndim:
+        raise ValueError(
+            f"free_names has {ndim} entries but the model has {n_free} "
+            "unfrozen parameters — freeze/thaw so they match (mcmc's "
+            "vars= does this automatically)")
     if nwalkers is None:
         nwalkers = 2 * ndim
     if nwalkers % 2:

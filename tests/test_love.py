@@ -83,6 +83,7 @@ def test_love_matches_dense_predict(fitted):
                                rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_love_error_decays_with_rank(fitted):
     m = fitted
     tstar = np.linspace(0, 60, 40)

@@ -33,6 +33,7 @@ def _priors():
             'node1.theta': pr.LogNormal(0.0, 0.3)}
 
 
+@pytest.mark.slow
 def test_dp_sharded_ensemble_matches_unsharded(gprn):
     n_dev = len(jax.devices())
     priors = _priors()
