@@ -85,7 +85,7 @@ class inference:
         # only, models/exact_blocked.py); 'f64' = the float64 engine
         # sweeps; 'auto' picks df64 on TPU when every kernel has a df64
         # assembly rule, f64 otherwise (f64 is native speed on CPU)
-        self.fit_method = 'dense'   # 'dense'|'cg': how the
+        self.fit_method = 'dense'   # 'dense'|'cg'|'svi': how the
         # mixed-precision BULK fit runs.  'dense' = batched/lean
         # Cholesky engines (exact; single-chip ceiling ~N=20k).  'cg' =
         # matrix-free coordinate ascent (models/cg_fit.py): chunked
@@ -97,8 +97,17 @@ class inference:
         # ~2e-7 for cg_rank=128 on the BASELINE QP configs, N=300–1000;
         # raise cg_rank for rougher kernels.  In f32 both the dense and
         # CG maps carry ~1e-3/sweep rounding, identically.)
+        # 'svi' = stochastic minibatch-over-outputs coordinate ascent
+        # (models/svi.py) — the very-large-p path; max_iter counts SVI
+        # steps and the svi_* knobs below control it.  Pair with
+        # refine_sweeps='converge' to polish the stochastic state to
+        # the exact fixed point.
         self.cg_rank = 128          # pivoted-Cholesky compression rank
         self.cg_tol = 1e-6          # inner CG relative-residual tol
+        self.svi_batch_p = None     # outputs per SVI step (None → p//4)
+        self.svi_kappa = 0.6        # Robbins–Monro decay exponent
+        self.svi_t0 = 5.0           # Robbins–Monro delay
+        self.svi_seed = 0
         self.refine_device = 'auto'  # 'auto'|'cpu'|None: where the f64
         # polish runs ('auto' prefers a CPU device when the default
         # backend is TPU — software-emulated f64 there is slow at
@@ -512,6 +521,7 @@ class inference:
         all-float64 requirement.  Requires x64 enabled."""
         theta = self._theta(nodes, weights, means, jitters)
         mu0, var0 = self._resolve_mu_var(mu, var, theta)
+        user_max_iter = max_iter
         if max_iter is None:
             max_iter = 10000
 
@@ -538,6 +548,26 @@ class inference:
             elif getattr(self, 'fit_method', 'dense') == 'cg':
                 mu32, var32, n_iter, converged = self.cg_engine.fit_state_cg(
                     *f32_args, max_iter, self.mixed_tol)
+            elif getattr(self, 'fit_method', 'dense') == 'svi':
+                from gpyrn_tpu.models.svi import make_svi_fit
+                bp = self.svi_batch_p or max(1, self.p // 4)
+                key = ("svi", int(bp))
+                cache = getattr(self, "_svi_engines", None)
+                if cache is None:
+                    cache = self._svi_engines = {}
+                sv = cache.get(key)
+                if sv is None:
+                    spec, core_maps = self._spec_and_core_maps()
+                    sv = cache[key] = make_svi_fit(spec, bp,
+                                                   core_maps=core_maps)
+                # fixed-step stochastic run; the reference's 10000-sweep
+                # default is the wrong scale for SVI steps
+                n_iter = user_max_iter if user_max_iter is not None \
+                    else 600
+                mu32, var32 = sv.fit_state_svi(
+                    *f32_args, int(n_iter), int(self.svi_seed),
+                    float(self.svi_t0), float(self.svi_kappa))
+                converged = True
             else:
                 fit = self.engine.fit_state_lean if lean \
                     else self.engine.fit_state
