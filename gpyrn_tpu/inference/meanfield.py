@@ -551,13 +551,15 @@ class inference:
             elif getattr(self, 'fit_method', 'dense') == 'svi':
                 from gpyrn_tpu.models.svi import make_svi_fit
                 bp = self.svi_batch_p or max(1, self.p // 4)
-                key = ("svi", int(bp))
+                spec, core_maps = self._spec_and_core_maps()
+                # spec-keyed cache: survives set_components with a new
+                # structure
+                key = (spec, int(bp))
                 cache = getattr(self, "_svi_engines", None)
                 if cache is None:
                     cache = self._svi_engines = {}
                 sv = cache.get(key)
                 if sv is None:
-                    spec, core_maps = self._spec_and_core_maps()
                     sv = cache[key] = make_svi_fit(spec, bp,
                                                    core_maps=core_maps)
                 # fixed-step stochastic run; the reference's 10000-sweep

@@ -231,7 +231,8 @@ def run_svi(gprn, n_steps: int = 600, batch_p: Optional[int] = None,
     spec, core_maps = gprn._spec_and_core_maps()
     if batch_p is None:
         batch_p = max(1, spec.p // 4)
-    key = ("svi", int(batch_p))
+    # spec-keyed cache: surviving set_components with a new structure
+    key = (spec, int(batch_p))
     cache = getattr(gprn, "_svi_engines", None)
     if cache is None:
         cache = gprn._svi_engines = {}
