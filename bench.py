@@ -531,7 +531,45 @@ def _f64_refine_subprocess(N, state_file, n_sweeps=3, timeout=1200):
         return None
 
 
+def _watchdog(budget):
+    """A downed axon tunnel HANGS backend init indefinitely (observed
+    55 min) inside a C call — signals can't interrupt it, so a daemon
+    thread emits the structured failure line and hard-exits."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": f"elbo_grad_30sweeps_walltime_N{N}_p3_QP_GPRN",
+            "value": None, "unit": "ms", "vs_baseline": None,
+            "error": f"TimeoutError: bench exceeded {budget}s "
+                     "(GPYRN_BENCH_TIMEOUT)"}), flush=True)
+        os._exit(1)
+
+    t = threading.Timer(budget, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    budget = int(os.environ.get("GPYRN_BENCH_TIMEOUT", "5400"))
+    timer = _watchdog(budget) if budget > 0 else None
+    try:
+        _main()
+        if timer is not None:
+            timer.cancel()
+    except BaseException as e:   # noqa: BLE001 — bench must always emit
+        # e.g. the axon TPU tunnel is down ("TPU backend setup/compile
+        # error (Unavailable)"): still print the one JSON line so the
+        # driver records a structured failure instead of nothing
+        print(json.dumps({
+            "metric": f"elbo_grad_30sweeps_walltime_N{N}_p3_QP_GPRN",
+            "value": None, "unit": "ms", "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}"}))
+        raise SystemExit(1)
+
+
+def _main():
     ours_ms, elbo, ok, ips = measure_ours()
     f64_ms, f64_elbo = measure_f64_parity()
     base_ms = measure_baseline()
