@@ -273,11 +273,16 @@ def compute_cj_estimate(posterior_sample, lnlikefunc, lnpriorfunc,
 # GPRN bridge: batched ELBO surrogate likelihood
 # ---------------------------------------------------------------------------
 
-def batch_elbo(gprn, thetas, max_iter: int = 100):
+def batch_elbo(gprn, thetas, max_iter: int = 100, mesh=None):
     """ELBO surrogate log-likelihood for a batch of full hyperparameter
     vectors — ONE vmapped device call for the whole batch (the evidence
     estimators' ``lnlikefunc``).  Frozen parameters in ``thetas`` columns
     are taken as given; pass full-width vectors.
+
+    ``mesh``: a ``gpyrn_tpu.parallel.make_mesh`` mesh — shards the
+    sample batch over its ``dp`` axis (SURVEY §5.8: evidence importance
+    samples are embarrassingly parallel), when the batch size divides
+    the dp extent; otherwise the batch stays replicated.
 
     The jitted batch function is cached on the ``gprn`` object per
     (engine, max_iter): jit caches by function identity, so rebuilding
@@ -303,4 +308,8 @@ def batch_elbo(gprn, thetas, max_iter: int = 100):
         fn = cache[key] = jax.jit(jax.vmap(one))
 
     thetas = jnp.asarray(np.atleast_2d(np.asarray(thetas, dtype=float)))
+    if mesh is not None:
+        from gpyrn_tpu.parallel.mesh import DP_AXIS, shard_along
+        if thetas.shape[0] % mesh.shape[DP_AXIS] == 0:
+            thetas = shard_along(thetas, mesh, DP_AXIS, 0)
     return np.asarray(fn(thetas))

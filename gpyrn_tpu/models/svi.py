@@ -34,7 +34,6 @@ NumPy loop over every output, meanfield.py:713-893).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax

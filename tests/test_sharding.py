@@ -112,3 +112,20 @@ def test_multistart_unknown_method_raises():
     gprn = _problem()
     with pytest.raises(ValueError, match="unknown method"):
         multistart_optimize(gprn, n_restarts=2, method='bfgs')
+
+
+def test_batch_elbo_dp_sharded_matches_unsharded():
+    """Evidence importance samples shard over dp (SURVEY §5.8); the
+    sharded batch must evaluate to the same ELBOs."""
+    from gpyrn_tpu.inference.evidence import batch_elbo
+    gprn = _problem()
+    theta0 = gprn.get_parameters(include_frozen=True)
+    rng = np.random.default_rng(0)
+    B = 2 * len(jax.devices())
+    thetas = theta0[None, :] * np.exp(
+        0.1 * rng.standard_normal((B, theta0.size)))
+    ref = batch_elbo(gprn, thetas, max_iter=30)
+    mesh = make_mesh(shape=(len(jax.devices()), 1))
+    with use_mesh(mesh):
+        sh = batch_elbo(gprn, thetas, max_iter=30, mesh=mesh)
+    np.testing.assert_allclose(sh, ref, rtol=1e-8)
