@@ -10,9 +10,10 @@ from gpyrn_tpu.parallel.mesh import (DP_AXIS, LAT_AXIS, make_mesh,
 from gpyrn_tpu.parallel.multistart import (make_multistart_step,
                                            multistart_optimize)
 from gpyrn_tpu.parallel.panel_fit import PanelEngine, make_panel_engine
+from gpyrn_tpu.parallel.iterative_sharded import cg_solve_sharded
 
 __all__ = [
     "DP_AXIS", "LAT_AXIS", "make_mesh", "shard_along", "use_mesh",
     "make_multistart_step", "multistart_optimize",
-    "PanelEngine", "make_panel_engine",
+    "PanelEngine", "make_panel_engine", "cg_solve_sharded",
 ]

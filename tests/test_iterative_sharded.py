@@ -1,0 +1,77 @@
+"""Distributed matrix-free CG (parallel/iterative_sharded.py).
+
+Claim under test: the row-slab-distributed solve equals the single-chip
+cg_solve on the same system — including non-decaying kernels where the
+identity-padding must be exact — and handles N not divisible by the
+axis size.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import gpyrn_tpu as g
+from gpyrn_tpu.ops.iterative import cg_solve, kernel_matvec
+from gpyrn_tpu.parallel import cg_solve_sharded, make_mesh
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 2,
+                                reason="needs multiple devices")
+
+
+def _system(N, kernel, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.sort(rng.uniform(0, 100, N))
+    b = rng.standard_normal((N, 2))
+    d = 0.3 + rng.random(N)
+    return t, b, d, kernel
+
+
+@pytest.mark.parametrize("N", [128, 130])   # 130: pad path (8 devices)
+def test_sharded_cg_matches_single_chip(N):
+    t, b, d, k = _system(N, g.covfunc.QuasiPeriodic(1.0, 30.0, 20.0,
+                                                    0.7))
+    pars = np.asarray(k.core_params(), dtype=float)
+    mesh = make_mesh(shape=(len(jax.devices()), 1))
+
+    def mv(x):
+        y = kernel_matvec(k.structure, pars, t, x, nugget=1e-2)
+        return y + (d[:, None] * x if x.ndim == 2 else d * x)
+
+    x_ref, _ = cg_solve(mv, b, tol=1e-10, maxiter=400,
+                        precond_diag=1.0 + 1e-2 + d)
+    x_sh, it = cg_solve_sharded(k.structure, pars, t, b, mesh,
+                                d_add=d, nugget=1e-2, tol=1e-10,
+                                maxiter=400)
+    np.testing.assert_allclose(x_sh, x_ref, rtol=1e-5, atol=1e-8)
+    assert it > 0
+
+
+def test_sharded_cg_nondecaying_kernel_pad_exact():
+    """Periodic never decays, so lazy 'distant dummy rows' padding
+    would corrupt the solution — the identity-padding must not."""
+    t, b, d, k = _system(131, g.covfunc.Periodic(1.0, 9.0, 0.7), seed=1)
+    pars = np.asarray(k.core_params(), dtype=float)
+    mesh = make_mesh(shape=(len(jax.devices()), 1))
+
+    def mv(x):
+        y = kernel_matvec(k.structure, pars, t, x, nugget=1e-2)
+        return y + (d[:, None] * x if x.ndim == 2 else d * x)
+
+    x_ref, _ = cg_solve(mv, b, tol=1e-10, maxiter=500)
+    x_sh, _ = cg_solve_sharded(k.structure, pars, t, b, mesh,
+                               d_add=d, nugget=1e-2, tol=1e-10,
+                               maxiter=500)
+    np.testing.assert_allclose(x_sh, x_ref, rtol=1e-5, atol=1e-8)
+
+
+def test_sharded_cg_single_rhs_squeeze():
+    t, b, d, k = _system(64, g.covfunc.SquaredExponential(1.0, 20.0))
+    pars = np.asarray(k.core_params(), dtype=float)
+    mesh = make_mesh(shape=(len(jax.devices()), 1))
+    x, it = cg_solve_sharded(k.structure, pars, t, b[:, 0], mesh,
+                             d_add=d, nugget=1e-2, tol=1e-8)
+    assert x.shape == (64,)
+    resid = np.asarray(
+        kernel_matvec(k.structure, pars, t, jnp.asarray(x),
+                      nugget=1e-2)) + d * x - b[:, 0]
+    assert np.linalg.norm(resid) / np.linalg.norm(b[:, 0]) < 1e-6
