@@ -30,10 +30,12 @@ __all__ = ["predict_iterative", "LovePredictor", "build_love"]
 
 
 def _gp_conditional_cg(structure, params, t, m_row, v_row, tstar,
-                       tol, maxiter, rhs_chunk, want_var):
+                       tol, maxiter, rhs_chunk, want_var, mesh=None):
     """Mean and (optionally) variance of one GP's conditional
     N(K* A⁻¹ m, diag(K** − K* A⁻¹ K*ᵀ)), A = K + diag(v) + nugget·I,
-    with every solve through chunked-matvec CG."""
+    with every solve through chunked-matvec CG.  With ``mesh``, solves
+    run through :func:`gpyrn_tpu.parallel.cg_solve_sharded` — the
+    matvec's rows distributed over the mesh's dp axis."""
     t = np.asarray(t, dtype=float)
     N = t.shape[0]
     params = jnp.asarray(params)
@@ -53,8 +55,23 @@ def _gp_conditional_cg(structure, params, t, m_row, v_row, tstar,
                              nugget=PREDICT_NUGGET)
         return base + (vr[:, None] * x if x.ndim == 2 else vr * x)
 
-    alpha, _ = cg_solve(matvec, jnp.asarray(m_row), tol=tol,
-                        maxiter=maxiter, precond_diag=precond)
+    if mesh is not None:
+        from gpyrn_tpu.parallel.iterative_sharded import cg_solve_sharded
+
+        def solve(rhs):
+            x, _ = cg_solve_sharded(structure, params, t,
+                                    np.asarray(rhs), mesh,
+                                    d_add=np.asarray(v_row, float),
+                                    nugget=PREDICT_NUGGET, tol=tol,
+                                    maxiter=maxiter)
+            return jnp.asarray(x)
+    else:
+        def solve(rhs):
+            x, _ = cg_solve(matvec, rhs, tol=tol, maxiter=maxiter,
+                            precond_diag=precond)
+            return x
+
+    alpha = solve(jnp.asarray(m_row))
     Kstar = np.asarray(cross_kernel_matrix(structure, params, tstar, t))
     mean = Kstar @ np.asarray(alpha)
 
@@ -74,8 +91,7 @@ def _gp_conditional_cg(structure, params, t, m_row, v_row, tstar,
     var = np.empty(n_star)
     for s0 in range(0, n_star, rhs_chunk):
         cols = Kstar[s0:s0 + rhs_chunk].T                  # (N, c)
-        X, _ = cg_solve(matvec, jnp.asarray(cols), tol=tol,
-                        maxiter=maxiter, precond_diag=precond)
+        X = solve(jnp.asarray(cols))
         var[s0:s0 + rhs_chunk] = kss[s0:s0 + rhs_chunk] - \
             np.sum(cols * np.asarray(X), axis=0)
     return mean, var
@@ -249,12 +265,15 @@ def _combine_lattice(gprn, tstar, means, vars_, q, p):
 
 def predict_iterative(gprn, tstar=None, nn: int = 1000, tol: float = 1e-8,
                       maxiter: int = 2000, rhs_chunk: int = 64,
-                      variances: bool = True):
+                      variances: bool = True, mesh=None):
     """Posterior predictive per output via matrix-free CG solves.
 
     Same return convention as ``inference.predict``:
     ``(tstar, mean (n*, p), std (n*, p), (node_preds, weight_preds))``
-    (std is zeros when ``variances=False``).
+    (std is zeros when ``variances=False``).  ``mesh``: distribute each
+    solve's kernel-matvec rows over the mesh's dp axis
+    (:func:`gpyrn_tpu.parallel.cg_solve_sharded`) — multi-chip
+    throughput for the N ≫ 20k prediction path.
     """
     gprn._require_components()
     t = np.asarray(gprn.time, dtype=float)
@@ -269,7 +288,7 @@ def predict_iterative(gprn, tstar=None, nn: int = 1000, tol: float = 1e-8,
     for structure, pars, m_row, v_row in _lattice_rows(gprn):
         mean_b, var_b = _gp_conditional_cg(
             structure, pars, t, m_row, v_row, tstar, tol, maxiter,
-            rhs_chunk, variances)
+            rhs_chunk, variances, mesh=mesh)
         means.append(mean_b)
         vars_.append(var_b if var_b is not None
                      else np.zeros_like(mean_b))

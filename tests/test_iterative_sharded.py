@@ -75,3 +75,25 @@ def test_sharded_cg_single_rhs_squeeze():
         kernel_matvec(k.structure, pars, t, jnp.asarray(x),
                       nugget=1e-2)) + d * x - b[:, 0]
     assert np.linalg.norm(resid) / np.linalg.norm(b[:, 0]) < 1e-6
+
+
+def test_predict_iterative_mesh_matches_unsharded():
+    """predict_iterative(mesh=...) distributes every conditional solve;
+    the prediction must match the unsharded CG path."""
+    from gpyrn_tpu.models.iterative import predict_iterative
+    rng = np.random.default_rng(2)
+    N = 40
+    t = np.sort(rng.uniform(0, 60, N))
+    y = np.sin(2 * np.pi * t / 13) + 0.1 * rng.standard_normal(N)
+    m = g.inference(1, t, y, np.full(N, 0.1))
+    m.set_components([g.covfunc.Periodic(1.0, 13.0, 0.6)],
+                     [g.covfunc.SquaredExponential(1.0, 8.0)],
+                     [None], [0.1])
+    m.ELBOcalc(max_iter=80)
+    ts = np.linspace(0, 60, 50)
+    _, mean_r, std_r, _ = predict_iterative(m, tstar=ts, tol=1e-10)
+    mesh = make_mesh(shape=(len(jax.devices()), 1))
+    _, mean_s, std_s, _ = predict_iterative(m, tstar=ts, tol=1e-10,
+                                            mesh=mesh)
+    np.testing.assert_allclose(mean_s, mean_r, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(std_s, std_r, rtol=1e-5, atol=1e-8)
