@@ -67,7 +67,8 @@ class CGFitEngine(NamedTuple):
 
 def make_cg_fit(spec: GPRNSpec, rank: int = 128, cg_tol: float = 1e-6,
                 cg_maxiter: int = 200, chunk: int = 2048,
-                core_maps=None) -> CGFitEngine:
+                core_maps=None, mesh=None,
+                axis_name: str = "dp") -> CGFitEngine:
     """Build the matrix-free fit for ``spec``.
 
     Args:
@@ -76,9 +77,56 @@ def make_cg_fit(spec: GPRNSpec, rank: int = 128, cg_tol: float = 1e-6,
             smooth kernels — raise it if `factors`' residual is large).
         cg_tol / cg_maxiter: inner solve control.
         chunk: kernel matvec row-chunk (memory/speed tradeoff).
+        mesh / axis_name: distribute every kernel matvec's ROW slab
+            over this mesh axis (the whole fit runs replicated inside
+            one ``shard_map``; only the O(N²) matvec work divides by
+            the axis size, one all_gather per matvec) — multi-chip
+            training at N ≫ 20k, the matrix-free analog of
+            ``parallel.panel_fit``.  Requires N divisible by the axis
+            size.
     """
     q, p, N = spec.q, spec.p, spec.N
     qp = q * p
+
+    if mesh is not None:
+        n_dev = int(mesh.shape[axis_name])
+        if N % n_dev:
+            raise ValueError(
+                f"sharded CG fit needs N ({N}) divisible by the "
+                f"'{axis_name}' axis size ({n_dev})")
+        Nl = N // n_dev
+
+    def _kmv(structure, cp, t, x, nu):
+        """(K + nu·I) @ x — single-chip chunked, or row-slab
+        distributed when built with a mesh (call inside shard_map)."""
+        if mesh is None:
+            return kernel_matvec(structure, cp, t, x, nugget=nu,
+                                 chunk=chunk)
+        squeeze = x.ndim == 1
+        xm = x[:, None] if squeeze else x
+        i = lax.axis_index(axis_name)
+        t_loc = lax.dynamic_slice_in_dim(t, i * Nl, Nl)
+        C = int(min(chunk, Nl))
+        n_chunks = -(-Nl // C)
+        t_loc_pad = jnp.pad(t_loc, (0, n_chunks * C - Nl),
+                            constant_values=t[-1] + 1e6)
+        from gpyrn_tpu.ops import kernels as _k
+
+        def one(carry, kk):
+            rows = lax.dynamic_slice_in_dim(t_loc_pad, kk * C, C)
+            if _k.is_nonstationary(structure):
+                Kb = _k.evaluate(structure, cp, t1=rows[:, None],
+                                 t2=t[None, :])
+            else:
+                Kb = _k.evaluate(structure, cp,
+                                 r=rows[:, None] - t[None, :])
+            return carry, Kb @ xm
+
+        _, parts = lax.scan(one, 0, jnp.arange(n_chunks))
+        y_loc = parts.reshape(n_chunks * C, xm.shape[1])[:Nl]
+        y = lax.all_gather(y_loc, axis_name, tiled=True)
+        y = y + jnp.asarray(nu, dtype=y.dtype) * xm
+        return y[:, 0] if squeeze else y
 
     node_maps = weight_maps = None
     if core_maps is not None:
@@ -157,8 +205,7 @@ def make_cg_fit(spec: GPRNSpec, rank: int = 128, cg_tol: float = 1e-6,
         every term positive — no cancellation at any a/diag(B) ratio —
         and the truncation error in diag Σ is second order in the
         OFF-diagonal pivoting residual (the diagonal part is exact)."""
-        Krhs = kernel_matvec(structure, cp, t, pred,
-                             nugget=nu, chunk=chunk)
+        Krhs = _kmv(structure, cp, t, pred, nu)
         h = g + d_add
         Uh = U / h[:, None]
         C2 = jnp.eye(rank, dtype=U.dtype) + U.T @ Uh
@@ -196,14 +243,11 @@ def make_cg_fit(spec: GPRNSpec, rank: int = 128, cg_tol: float = 1e-6,
             return root_apply(u) / sqrt_h[:, None]
 
         def mv(x):
-            return kernel_matvec(structure, cp, t, x,
-                                 nugget=nu, chunk=chunk) \
-                + d_add[:, None] * x
+            return _kmv(structure, cp, t, x, nu) + d_add[:, None] * x
 
         t1, _ = cg_solve(mv, Krhs[:, None], tol=cg_tol,
                          maxiter=cg_maxiter, precond_apply=precond)
-        sig_rhs = Krhs - kernel_matvec(structure, cp, t, t1[:, 0],
-                                       nugget=nu, chunk=chunk)
+        sig_rhs = Krhs - _kmv(structure, cp, t, t1[:, 0], nu)
 
         # diag Σ_B via the PRODUCT identity — NO subtraction anywhere:
         #   Σ_B = B − B P B = B P diag(a),  P = (B + diag(a))⁻¹,
@@ -262,8 +306,7 @@ def make_cg_fit(spec: GPRNSpec, rank: int = 128, cg_tol: float = 1e-6,
         muW = u[q * N:].reshape(p, q, N)
         return muF, muW
 
-    @jax.jit
-    def fit_state_cg(theta, t, y, yerr2, mu0, var0, max_iter, tol):
+    def _fit_state_body(theta, t, y, yerr2, mu0, var0, max_iter, tol):
         theta = jnp.asarray(theta)
         t = jnp.asarray(t)
         _, _, _, jitters = unpack_parameters(spec, theta)
@@ -299,6 +342,17 @@ def make_cg_fit(spec: GPRNSpec, rank: int = 128, cg_tol: float = 1e-6,
         mu = jnp.concatenate([muF.ravel(), muW.ravel()])
         var = jnp.concatenate([varF.ravel(), varW.ravel()])
         return mu, var, it, done
+
+    if mesh is None:
+        fit_state_cg = jax.jit(_fit_state_body)
+    else:
+        # the whole fit runs replicated inside one shard_map; only the
+        # _kmv row slabs (and their all_gathers) are device-local
+        from jax.sharding import PartitionSpec as P
+        fit_state_cg = jax.jit(jax.shard_map(
+            _fit_state_body, mesh=mesh, axis_names={axis_name},
+            in_specs=P(), out_specs=(P(), P(), P(), P()),
+            check_vma=False))
 
     return CGFitEngine(spec=spec, rank=rank, fit_state_cg=fit_state_cg,
                        factors=jax.jit(_factors))

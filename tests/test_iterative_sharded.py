@@ -97,3 +97,56 @@ def test_predict_iterative_mesh_matches_unsharded():
                                             mesh=mesh)
     np.testing.assert_allclose(mean_s, mean_r, rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(std_s, std_r, rtol=1e-5, atol=1e-8)
+
+
+def test_cg_fit_sharded_matches_unsharded():
+    """The matrix-free TRAINING fit with row-sharded matvecs
+    (make_cg_fit(mesh=...)) equals the single-chip CG fit."""
+    from gpyrn_tpu.models.cg_fit import make_cg_fit
+    rng = np.random.default_rng(3)
+    N = 8 * len(jax.devices())
+    t = np.sort(rng.uniform(0, 60, N))
+    data = []
+    for i in range(2):
+        data += [np.sin(2 * np.pi * t / (11 + 3 * i))
+                 + 0.1 * rng.standard_normal(N), np.full(N, 0.1)]
+    m = g.inference(1, t, *data)
+    m.set_components([g.covfunc.Periodic(1.0, 11.0, 0.6)],
+                     [g.covfunc.SquaredExponential(1.0, 8.0),
+                      g.covfunc.SquaredExponential(0.9, 9.0)],
+                     [None] * 2, [0.1] * 2)
+    spec, core_maps = m._spec_and_core_maps()
+    theta = m._theta()
+    tt = np.asarray(m.time, dtype=float)
+    mu0, var0 = m.engine.init_mu_var(theta, m.y)
+
+    rank = min(48, N)
+    eng_u = make_cg_fit(spec, rank=rank, core_maps=core_maps)
+    mu_u, var_u, it_u, _ = eng_u.fit_state_cg(theta, tt, m.y, m.yerr2,
+                                              mu0, var0, 30, 0.0)
+    mesh = make_mesh(shape=(len(jax.devices()), 1))
+    eng_s = make_cg_fit(spec, rank=rank, core_maps=core_maps,
+                        mesh=mesh)
+    mu_s, var_s, it_s, _ = eng_s.fit_state_cg(theta, tt, m.y, m.yerr2,
+                                              mu0, var0, 30, 0.0)
+    assert int(it_s) == int(it_u)
+    scale = 1.0 + np.max(np.abs(np.asarray(mu_u)))
+    assert np.max(np.abs(np.asarray(mu_s) - np.asarray(mu_u))) / scale \
+        < 1e-8
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_u),
+                               rtol=1e-7, atol=1e-12)
+
+
+def test_cg_fit_sharded_indivisible_raises():
+    from gpyrn_tpu.models.cg_fit import make_cg_fit
+    rng = np.random.default_rng(0)
+    N = 8 * len(jax.devices()) + 1
+    t = np.sort(rng.uniform(0, 20, N))
+    m = g.inference(1, t, rng.standard_normal(N), np.full(N, 0.1))
+    m.set_components([g.covfunc.Periodic(1.0, 8.0, 0.5)],
+                     [g.covfunc.SquaredExponential(1.0, 5.0)],
+                     [None], [0.1])
+    spec, core_maps = m._spec_and_core_maps()
+    mesh = make_mesh(shape=(len(jax.devices()), 1))
+    with pytest.raises(ValueError, match="divisible"):
+        make_cg_fit(spec, rank=16, core_maps=core_maps, mesh=mesh)
