@@ -26,7 +26,8 @@ from gpyrn_tpu.ops.iterative import (cg_solve, kernel_matvec,
 from gpyrn_tpu.ops.kernels import evaluate as _keval, is_nonstationary
 from gpyrn_tpu.ops.linalg import PREDICT_NUGGET, cross_kernel_matrix
 
-__all__ = ["predict_iterative", "LovePredictor", "build_love"]
+__all__ = ["predict_iterative", "LovePredictor", "build_love",
+           "sample_iterative"]
 
 
 def _gp_conditional_cg(structure, params, t, m_row, v_row, tstar,
@@ -294,3 +295,36 @@ def predict_iterative(gprn, tstar=None, nn: int = 1000, tol: float = 1e-8,
                      else np.zeros_like(mean_b))
     return _combine_lattice(gprn, tstar, np.stack(means),
                             np.stack(vars_), gprn.q, gprn.p)
+
+
+def sample_iterative(gprn, time=None, rng=None, n_steps: int = 64):
+    """Prior samples of all node and weight functions, matrix-free —
+    ``inference.sample`` semantics (meanfield.py:517-539 reference
+    surface) at N ≫ 20k: each draw is K^(1/2) ξ through
+    :func:`gpyrn_tpu.ops.iterative.msqrt_apply` (k chunked kernel
+    matvecs, O(k·N) memory) instead of a dense eigendecomposition.
+    Returns ``(node_samples (q, n), weight_samples (q·p, n))``.
+    """
+    from gpyrn_tpu.ops.iterative import msqrt_apply
+    from gpyrn_tpu.ops.kernels import is_nonstationary as _nonstat
+
+    gprn._require_components()
+    rng = np.random.default_rng() if rng is None else rng
+    t = np.asarray(gprn.time if time is None else time, dtype=float)
+    nodes, weights, _, _ = gprn._get_components()
+
+    def draw(kernel):
+        pars = jnp.asarray(np.asarray(kernel.core_params(), float))
+        # the dense `sample` adds PREDICT_NUGGET only on the stationary
+        # branch (reference quirk) — mirror it
+        nug = 0.0 if _nonstat(kernel.structure) else PREDICT_NUGGET
+
+        def mv(x):
+            return kernel_matvec(kernel.structure, pars, t, x,
+                                 nugget=nug)
+        xi = jnp.asarray(rng.standard_normal(t.size))
+        return np.asarray(msqrt_apply(mv, xi, n_steps=n_steps))
+
+    node_samples = np.array([draw(n) for n in nodes])
+    weight_samples = np.array([draw(w) for w in weights])
+    return node_samples, weight_samples

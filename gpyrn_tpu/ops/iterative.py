@@ -36,7 +36,8 @@ from gpyrn_tpu.ops import kernels as _k
 
 __all__ = ["kernel_matvec", "cg_solve", "slq_logdet", "lanczos",
            "lanczos_vectors", "df64_kernel_matvec", "cg_refined",
-           "kernel_diag", "pivoted_cholesky", "woodbury_apply"]
+           "kernel_diag", "pivoted_cholesky", "woodbury_apply",
+           "msqrt_apply"]
 
 
 def kernel_matvec(structure, params, t, v, nugget=0.0, chunk: int = 2048):
@@ -402,3 +403,22 @@ def cg_refined(matvec_f32, residual_matvec, b, n_refine: int = 3,
     r = b64 - _np.asarray(residual_matvec(x), _np.float64)
     rel = float(_np.linalg.norm(r)) / bnorm
     return x, rel
+
+
+def msqrt_apply(matvec, v, n_steps: int = 64):
+    """A^(1/2) v by Lanczos (Pleiss et al. 2020, "Fast Matrix Square
+    Roots", PAPERS.md): A^(1/2) v ≈ ‖v‖ · Qᵀ (U √Λ Uᵀ e₁) with
+    T = Q A Qᵀ = U Λ Uᵀ from :func:`lanczos_vectors` (fully
+    reorthogonalized, so ghost eigenvalues don't corrupt the function
+    application).  Krylov-spectral accuracy: the error decays like the
+    best degree-k polynomial approximation of √λ on A's spectrum, and
+    the result is EXACT once the Krylov space exhausts.  O(k·N) memory
+    and k matvecs — the large-N route to GP prior/posterior sampling,
+    where the dense path (eigh of K) is O(N³) time / O(N²) memory."""
+    v = jnp.asarray(v)
+    Q, al, be = lanczos_vectors(matvec, v, n_steps)
+    T = jnp.diag(al) + jnp.diag(be[:-1], 1) + jnp.diag(be[:-1], -1)
+    lam, U = jnp.linalg.eigh(T)
+    lam = jnp.maximum(lam, 0.0)
+    w = U @ (jnp.sqrt(lam) * U[0])
+    return jnp.linalg.norm(v) * (w @ Q)

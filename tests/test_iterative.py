@@ -218,3 +218,71 @@ def test_cg_indefinite_preconditioner_guard():
     x, it = cg_solve(matvec, b, tol=1e-6, maxiter=50,
                      precond_apply=bad_precond)
     assert bool(jnp.all(jnp.isfinite(x)))
+
+
+def test_msqrt_apply_exact_at_full_krylov():
+    """With n_steps = N the Krylov space is complete and
+    msqrt_apply(A, v) equals the symmetric square root applied densely."""
+    from gpyrn_tpu.ops.iterative import msqrt_apply
+    import gpyrn_tpu as g
+    rng = np.random.default_rng(0)
+    N = 48
+    t = np.sort(rng.uniform(0, 60, N))
+    k = g.covfunc.QuasiPeriodic(1.0, 20.0, 13.0, 0.7)
+    pars = jnp.asarray(np.asarray(k.core_params(), float))
+    K = np.asarray(g.covfunc.evaluate(k.structure, pars,
+                                      r=t[:, None] - t[None, :]))
+    K = K + 1e-8 * np.eye(N)
+    w, V = np.linalg.eigh(K)
+    Ksqrt = (V * np.sqrt(np.clip(w, 0, None))) @ V.T
+    v = rng.standard_normal(N)
+
+    def mv(x):
+        return kernel_matvec(k.structure, pars, t, x, nugget=1e-8)
+
+    z = np.asarray(msqrt_apply(mv, jnp.asarray(v), n_steps=N))
+    np.testing.assert_allclose(z, Ksqrt @ v, rtol=1e-6, atol=1e-8)
+
+
+def test_msqrt_apply_error_decays_with_steps():
+    from gpyrn_tpu.ops.iterative import msqrt_apply
+    import gpyrn_tpu as g
+    rng = np.random.default_rng(1)
+    N = 64
+    t = np.sort(rng.uniform(0, 60, N))
+    k = g.covfunc.SquaredExponential(1.0, 10.0)
+    pars = jnp.asarray(np.asarray(k.core_params(), float))
+    K = np.asarray(g.covfunc.evaluate(k.structure, pars,
+                                      r=t[:, None] - t[None, :]))
+    K = K + 1e-6 * np.eye(N)
+    w, V = np.linalg.eigh(K)
+    Ksqrt = (V * np.sqrt(np.clip(w, 0, None))) @ V.T
+    v = rng.standard_normal(N)
+
+    def mv(x):
+        return kernel_matvec(k.structure, pars, t, x, nugget=1e-6)
+
+    errs = []
+    for steps in (4, 12, 36):
+        z = np.asarray(msqrt_apply(mv, jnp.asarray(v), n_steps=steps))
+        errs.append(np.linalg.norm(z - Ksqrt @ v))
+    assert errs[2] < errs[0]
+    assert errs[2] < 1e-5 * np.linalg.norm(Ksqrt @ v)
+
+
+@pytest.mark.slow
+def test_sample_iterative_matches_prior_covariance():
+    """Sample second moments: E[s_i^2] = K_ii (statistical, fixed rng)."""
+    from gpyrn_tpu.models.iterative import sample_iterative
+    import gpyrn_tpu as g
+    rng = np.random.default_rng(5)
+    N = 40
+    t = np.sort(rng.uniform(0, 50, N))
+    m = g.inference(1, t, np.sin(t), np.full(N, 0.1))
+    m.set_components([g.covfunc.SquaredExponential(1.3, 9.0)],
+                     [g.covfunc.Matern52(0.8, 7.0)], [None], [0.1])
+    draws = np.stack([sample_iterative(m, rng=np.random.default_rng(s),
+                                       n_steps=N)[0][0]
+                      for s in range(200)])
+    emp_var = draws.var(axis=0)
+    assert abs(emp_var.mean() - 1.3 ** 2) < 0.25 * 1.3 ** 2
