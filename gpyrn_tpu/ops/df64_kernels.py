@@ -11,9 +11,11 @@ log-determinants from pure f32 hardware ops.
 Covers the ENTIRE reference kernel library (covfunc.py:107-689): the
 23 registry tags — stationary (C, WN, SE, P, QP, RQ, RQP, COS, EXP,
 M32, M52, GammaExp, PW, PAC, NP, QNP, NRQP, CP, QCP) and the
-non-stationary (t1, t2) trio-plus-one (LIN, POLY, HP, QHP) — and +/*
-composites of any of them, so the on-chip exact refine path never has
-to fall back to emulated f64 for a supported model.
+non-stationary (t1, t2) trio-plus-one (LIN, POLY, HP, QHP) — plus +/*
+composites of any of them AND the Derivative wrapper (tag "d", the
+d²k/dxᵢdxⱼ kernels of the twice-differentiable SE/P/QP —
+covfunc.py:83-104), so the on-chip exact refine path never falls back
+to emulated f64 for ANY reference-expressible model.
 """
 from __future__ import annotations
 
@@ -330,10 +332,77 @@ _DF_NONSTAT = {
 }
 
 
+# ---- second-derivative kernels (the Derivative wrapper, tag "d") ----------
+
+def _se_d2(p, r):
+    # (θ²/ℓ⁴)(ℓ² − r²) exp(−r²/2ℓ²)        (reference covfunc.py:177-185)
+    theta, ell = p
+    ell2 = _sq(ell)
+    pre = df_div(_sq(theta), _sq(ell2))
+    poly = df_sub(_bc(ell2, r), _sq(r))
+    z = df_div(_sq(r), _bc(df_mul(_TWO, ell2), r))
+    return df_mul(df_mul(_bc(pre, r), poly), df_exp(df_neg(z)))
+
+
+def _periodic_d2(p, r):
+    # 4π²θ² (ℓ²cos(2πr/P) − 4sin²cos²) exp(−2sin²/ℓ²)   (covfunc.py:215-221)
+    theta, P, ell = p
+    rP = df_div(df_mul(_bc(PI, r), r), _bc(P, r))
+    s2 = _sq(df_sin(rP))
+    c2 = _sq(df_cos(rP))
+    pre = df_mul(_c(4.0), df_mul(df_mul(PI, PI), _sq(theta)))
+    ell2 = _sq(ell)
+    term2 = df_sub(df_mul(_bc(ell2, r), df_cos(df_mul(_bc(_TWO, r), rP))),
+                   df_mul(_bc(_c(4.0), r), df_mul(s2, c2)))
+    term3 = df_exp(df_neg(df_div(df_mul(_bc(_TWO, r), s2),
+                                 _bc(ell2, r))))
+    return df_mul(df_mul(_bc(pre, r), term2), term3)
+
+
+def _quasi_periodic_d2(p, r):
+    # reference covfunc.py:257-266 (QuasiPeriodic._dkdxidj), as written
+    theta, elle, P, ellp = p
+    le2 = _sq(elle)
+    le4 = _sq(le2)
+    lp2 = _sq(ellp)
+    lp4 = _sq(lp2)
+    P2 = _sq(P)
+    pi2 = df_mul(PI, PI)
+    rP = df_div(df_mul(_bc(PI, r), r), _bc(P, r))
+    s = df_sin(rP)
+    c = df_cos(rP)
+    s2rP = df_sin(df_mul(_bc(_TWO, r), rP))
+    c2rP = df_cos(df_mul(_bc(_TWO, r), rP))
+    pre = df_div(df_mul(_TWO, _sq(theta)),
+                 df_mul(P2, df_mul(lp4, le4)))
+    a1 = _bc(df_mul(P2, df_mul(lp4, le2)), r)
+    a2 = df_mul(_bc(df_mul(_TWO, df_mul(P2, lp4)), r), _sq(r))
+    a3 = df_mul(df_mul(_bc(df_mul(_c(4.0),
+                                  df_mul(PI, df_mul(P, df_mul(lp2, le2)))),
+                           r), r), s2rP)
+    a4 = df_mul(_bc(df_mul(_TWO, df_mul(pi2, df_mul(lp2, le4))), r), c2rP)
+    a5 = df_mul(_bc(df_mul(_c(8.0), df_mul(pi2, le4)), r),
+                df_mul(_sq(s), _sq(c)))
+    term2 = df_sub(df_add(df_sub(df_sub(a1, a2), a3), a4), a5)
+    znum = df_add(df_mul(_bc(lp2, r), _sq(r)),
+                  df_mul(_bc(df_mul(_TWO, le2), r), _sq(s)))
+    term3 = df_exp(df_neg(df_div(znum, _bc(df_mul(lp2, le2), r))))
+    return df_mul(df_mul(_bc(pre, r), term2), term3)
+
+
+_DF_D2 = {
+    "SE": (2, _se_d2),
+    "P": (3, _periodic_d2),
+    "QP": (4, _quasi_periodic_d2),
+}
+
+
 def df_supported(structure) -> bool:
     tag = structure[0]
     if tag in ("+", "*"):
         return df_supported(structure[1]) and df_supported(structure[2])
+    if tag == "d":
+        return structure[1][0] in _DF_D2
     return tag in _DF_KERNELS or tag in _DF_NONSTAT
 
 
@@ -353,6 +422,9 @@ def _evaluate(structure, params, r: DF, t1: DF = None, t2: DF = None) -> DF:
         a = _evaluate(structure[1], params[:n1], r, t1, t2)
         b = _evaluate(structure[2], params[n1:], r, t1, t2)
         return df_add(a, b) if tag == "+" else df_mul(a, b)
+    if tag == "d":
+        npars, fn = _DF_D2[structure[1][0]]
+        return fn(params[:npars], r)
     if tag in _DF_NONSTAT:
         if t1 is None or t2 is None:
             raise ValueError(f"kernel {tag} requires (t1, t2) inputs")

@@ -129,17 +129,37 @@ def test_df64_polynomial_negative_base(t):
                                atol=1e-10 * np.max(np.abs(K64)))
 
 
-def test_unsupported_structure_raises(t):
-    # only the Derivative wrapper has no df64 rule now
-    with pytest.raises(ValueError):
-        dk.df_kernel_matrix(("d", ("SE",)), np.array([1.0, 10.0]), t,
-                            NUGGET)
-    assert not dk.df_supported(("d", ("SE",)))
+def test_supported_structures(t):
+    # the Derivative wrapper gained its df64 rule (SE/P/QP children);
+    # a non-twice-differentiable child stays unsupported
+    assert dk.df_supported(("d", ("SE",)))
+    assert dk.df_supported(("d", ("P",)))
+    assert dk.df_supported(("d", ("QP",)))
+    assert not dk.df_supported(("d", ("M52",)))
     assert dk.df_supported(("+", ("SE",), ("M52",)))
     assert dk.df_supported(("WN",))
     assert dk.df_supported(("HP",))
     assert dk.df_nonstationary(("*", ("SE",), ("LIN",)))
     assert not dk.df_nonstationary(("QP",))
+
+
+def test_derivative_d2_matches_f64(t):
+    """df64 assembly of the d²k kernels matches float64 to ~1e-13."""
+    from gpyrn_tpu.ops import kernels as _k
+    import jax.numpy as jnp
+    for struct, pars in [(("d", ("SE",)), [1.3, 4.0]),
+                         (("d", ("P",)), [1.1, 9.0, 0.7]),
+                         (("d", ("QP",)), [1.2, 12.0, 9.0, 0.8])]:
+        K64 = np.asarray(_k.evaluate(
+            struct, jnp.asarray(pars, jnp.float64),
+            r=np.asarray(t)[:, None] - np.asarray(t)[None, :]),
+            dtype=np.float64)
+        Kdf = dk.df_kernel_matrix(struct, np.asarray(pars, np.float64),
+                                  np.asarray(t), 0.0)
+        Krec = np.float64(np.asarray(Kdf.hi)) \
+            + np.float64(np.asarray(Kdf.lo))
+        scale = np.max(np.abs(K64))
+        assert np.max(np.abs(Krec - K64)) / scale < 1e-11
 
 
 @pytest.mark.slow

@@ -134,17 +134,31 @@ def test_refine_matches_f64_round3_kernels(dataset2):
     _compare(gprn, rel=1e-6)
 
 
-def test_unsupported_kernel_raises(dataset2):
+def test_unsupported_structure_rejected():
+    """Every reference-expressible construct now has a df64 rule (the
+    Derivative wrapper was the last); unknown tags still report
+    unsupported."""
+    from gpyrn_tpu.ops.df64_kernels import df_supported
+    assert df_supported(("d", ("SE",)))
+    assert df_supported(("d", ("P",)))
+    assert df_supported(("d", ("QP",)))
+    assert not df_supported(("d", ("M52",)))   # not twice-differentiable
+    assert not df_supported(("not-a-kernel",))
+
+
+@pytest.mark.slow
+def test_refine_matches_f64_derivative_node(dataset2):
+    """A Derivative(SE) node model refines on the df64 path to the same
+    ELBO as the f64 engine (the last kernel construct to gain a df64
+    assembly rule)."""
     t, data = dataset2
     gprn = g.inference(1, t, data[0], data[1])
-    # only the Derivative wrapper lacks a df64 assembly rule now
     gprn.set_components(g.covfunc.Derivative(
                             g.covfunc.SquaredExponential(1.0, 5.0)),
                         g.covfunc.SquaredExponential(1.0, 5.0),
                         [None], [0.1])
-    assert not exact_refine_supported(gprn.engine.spec)
-    with pytest.raises(ValueError, match="df64"):
-        refine_exact(gprn, np.zeros(gprn.d), np.ones(gprn.d))
+    assert exact_refine_supported(gprn.engine.spec)
+    _compare(gprn, rel=1e-6)
 
 
 @pytest.mark.slow
