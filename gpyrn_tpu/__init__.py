@@ -11,7 +11,7 @@ Public surface mirrors the reference (gpyrn/__init__.py):
 >>> from gpyrn_tpu import inference, covfunc, meanfunc
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 from gpyrn_tpu import config  # noqa: F401  (enables x64 by default)
 
