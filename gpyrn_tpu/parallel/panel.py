@@ -61,7 +61,8 @@ __all__ = [
     "PanelDims", "panel_dims", "pad_vector", "slab_rows",
     "panel_cholesky_local", "panel_logdet_half_local",
     "panel_solve_local", "panel_solve_t_local", "panel_cho_solve_local",
-    "panel_matvec_local", "panel_diag_trace_local", "gather_vector",
+    "panel_matvec_local", "panel_diag_trace_local",
+    "panel_tri_inv_local", "panel_fro_cross_local", "gather_vector",
 ]
 
 DEFAULT_BLOCK = 256
@@ -293,3 +294,98 @@ def panel_diag_trace_local(L_local, K_local, dims: PanelDims,
     diag_local = K_local[jnp.arange(Nl), gr]
     diagK = lax.all_gather(diag_local, axis_name, tiled=True)
     return diagK - qn, cn
+
+
+def panel_tri_inv_local(L_local, dims: PanelDims, axis_name: str):
+    """Distributed triangular inversion: row slab of ``G = L⁻¹``.
+
+    Streams the forward substitution ``L X = I`` block-row by
+    block-row (same collective pattern as
+    :func:`panel_diag_trace_local`, with the identity as the RHS); the
+    owner of each block row keeps its (B, Np) piece, so G comes out in
+    the SAME row-slab layout as L — the q > 1 cross-trace pass
+    (:func:`panel_fro_cross_local`) consumes it column-strip-wise via
+    one ``all_gather`` per step.
+
+    Returns:
+        ``(G_local, diag_inv)``: the (Nl, Np) local slab of L⁻¹ and the
+        replicated (Np,) ``diag((L Lᵀ)⁻¹)`` = column norms² of L⁻¹
+        (padded lanes of ``diag_inv`` are exactly 1 by the
+        identity-padding convention — mask with ``< N`` as needed).
+    """
+    B, Nl, Np = dims.B, dims.Nl, dims.Np
+
+    def body(k, carry):
+        S, G, qn = carry
+        mine, off = _owner_block(dims, axis_name, k)
+        m = mine.astype(L_local.dtype)
+        Lkk = lax.psum(
+            m * lax.dynamic_slice(L_local, (off, k * B), (B, B)),
+            axis_name)
+        eye_k = lax.dynamic_update_slice(
+            jnp.zeros((B, Np), L_local.dtype),
+            jnp.eye(B, dtype=L_local.dtype), (0, k * B))
+        rhs = eye_k - lax.psum(
+            m * lax.dynamic_slice(S, (off, 0), (B, Np)), axis_name)
+        Xk = lax.linalg.triangular_solve(Lkk, rhs, left_side=True,
+                                         lower=True)          # (B, Np)
+        qn = qn + jnp.sum(Xk * Xk, axis=0)
+        cur = lax.dynamic_slice(G, (off, 0), (B, Np))
+        G = lax.dynamic_update_slice(G, jnp.where(mine, Xk, cur),
+                                     (off, 0))
+        Lcolk = lax.dynamic_slice(L_local, (0, k * B), (Nl, B))
+        S = S + Lcolk @ Xk
+        return S, G, qn
+
+    _, G_local, qn = lax.fori_loop(
+        0, dims.nb, body,
+        (jnp.zeros_like(L_local), jnp.zeros_like(L_local),
+         jnp.zeros(Np, L_local.dtype)))
+    return G_local, qn
+
+
+def panel_fro_cross_local(LA_local, G_local, dscale, dims: PanelDims,
+                          axis_name: str):
+    """``‖L_A⁻¹ · diag(dscale) · Gᵀ‖²_F`` — the q > 1 cross-trace
+    Frobenius norm (models/gprn.py `_sweep_free_lean`: W =
+    L_{A_k}⁻¹ D_k⁻¹ L_j⁻ᵀ), fully panel-distributed.
+
+    ``LA_local`` is the row slab of the panel factor L_A, ``G_local``
+    the row slab of G = L_j⁻¹ (:func:`panel_tri_inv_local`), ``dscale``
+    a replicated (Np,) diagonal (padded lanes 0).  Streams the wide
+    forward solve Z = L_A⁻¹ W block-row by block-row: W's block row k
+    is rebuilt from one ``all_gather`` of G's column strip (W[r, c] =
+    dscale[r]·G[c, r]), the running update rides the gathered L_A
+    block column as a local (Nl×B)·(B×Np) GEMM, and only Σ Z² is kept.
+    Padded lanes contribute exactly 0 (dscale pad = 0; G pad rows are
+    unit vectors pointing at padded columns).
+
+    Returns the replicated scalar ``Σ Z²``.
+    """
+    B, Nl, Np = dims.B, dims.Nl, dims.Np
+
+    def body(k, carry):
+        S, frob = carry
+        mine, off = _owner_block(dims, axis_name, k)
+        m = mine.astype(LA_local.dtype)
+        Lkk = lax.psum(
+            m * lax.dynamic_slice(LA_local, (off, k * B), (B, B)),
+            axis_name)
+        strip = lax.all_gather(
+            lax.dynamic_slice(G_local, (0, k * B), (Nl, B)),
+            axis_name, tiled=True)                            # (Np, B)
+        dk = lax.dynamic_slice(dscale, (k * B,), (B,))
+        Wk = strip.T * dk[:, None]                            # (B, Np)
+        Sk = lax.psum(
+            m * lax.dynamic_slice(S, (off, 0), (B, Np)), axis_name)
+        Zk = lax.linalg.triangular_solve(Lkk, Wk - Sk, left_side=True,
+                                         lower=True)          # (B, Np)
+        frob = frob + jnp.sum(Zk * Zk)
+        LAcolk = lax.dynamic_slice(LA_local, (0, k * B), (Nl, B))
+        S = S + LAcolk @ Zk
+        return S, frob
+
+    _, frob = lax.fori_loop(
+        0, dims.nb, body,
+        (jnp.zeros_like(LA_local), jnp.zeros((), LA_local.dtype)))
+    return frob

@@ -14,12 +14,22 @@ Three entry points (mirroring the single-chip lean engine semantics):
   semantics of ``Engine.fit_state_lean``: plain exact nugget, state
   delta stopping rule).  Any (q, p).
 * ``elbo_refine_panel`` — fixed-sweep reference-semantics sweeps + ELBO
-  at the final state (``Engine.elbo_refine_lean``).  q = 1 only: the
-  q > 1 cumulative-sumSigmaF cross traces need N×N inverses that the
-  panel layout does not keep (single-chip handles q > 1; multi-chip
-  panel mode targets the large-N single-node configs).
+  at the final state (``Engine.elbo_refine_lean``).  Any (q, p): the
+  q > 1 cumulative-sumSigmaF cross traces tr(K_j⁻¹Σ_k) stream as
+  panel-distributed triangular inversions + Frobenius-norm solves
+  (:func:`gpyrn_tpu.parallel.panel.panel_tri_inv_local` /
+  :func:`~gpyrn_tpu.parallel.panel.panel_fro_cross_local`), and the
+  raw-flatten weight-prior quirk re-pairs μᵀK⁻¹μ against the
+  prefactored prior panels.
 * ``elbo_fit_panel`` — full reference fit (rel-std(3) < 1e-3 ELBO
-  stopping rule, per-sweep trace; ``Engine.elbo_fit_lean``).  q = 1.
+  stopping rule, per-sweep trace; ``Engine.elbo_fit_lean``).  Any
+  (q, p).
+
+The prior Choleskys L_K (and, for q > 1, the node inverses L_f⁻¹ with
+diag(K⁻¹)) depend on θ only, so the ELBO paths factor them ONCE per
+fit and carry them through the sweep loop — per sweep only the A =
+K + D⁻¹ factorizations remain (the single-chip engine's `_prepare`
+staging, models/gprn.py:916).
 
 All small state (μ, diag Σ, data) is replicated; only the O(N²) matrix
 work is distributed.  The whole fit — slab kernel assembly, distributed
@@ -58,8 +68,10 @@ from gpyrn_tpu.parallel.panel import (DEFAULT_BLOCK, PanelDims,
                                       panel_cho_solve_local,
                                       panel_diag_trace_local,
                                       panel_dims,
+                                      panel_fro_cross_local,
                                       panel_logdet_half_local,
-                                      panel_matvec_local, slab_rows)
+                                      panel_matvec_local,
+                                      panel_tri_inv_local, slab_rows)
 
 __all__ = ["PanelEngine", "make_panel_engine"]
 
@@ -155,14 +167,41 @@ def make_panel_engine(spec: GPRNSpec, mesh: Mesh,
         dS, _ = panel_diag_trace_local(L, K, dims, axis_name)
         return sig_rhs[:N], dS[:N]
 
-    def _gp_free(structure, cp, t_pad, d_add, pred):
+    def _prior_factors(theta, t_pad):
+        """θ-only panel factors, computed ONCE per fit: each GP's prior
+        Cholesky slab L_K + ½ log det K, and for q > 1 the node
+        inverses G = L_f⁻¹ (row slabs) with diag(K_f⁻¹) for the
+        cumulative cross traces (single-chip analog: `_prepare`'s
+        L_all/Linv_nodes, models/gprn.py:916)."""
+        node_p, weight_p, _, _ = unpack_parameters(spec, theta)
+        node_c = _core(node_p, node_maps)
+        weight_c = _core(weight_p, weight_maps)
+        zeros = jnp.zeros(Np, t_pad.dtype)
+        LKs, ldKhs, Gs, dKinvs = [], [], [], []
+        for gi, (structs, cps) in enumerate(
+                ((spec.node_structs, node_c),
+                 (spec.weight_structs, weight_c))):
+            for s, cp in zip(structs, cps):
+                K = _slab_kernel(s, cp, t_pad, zeros, elbo_mode=True)
+                L_K = panel_cholesky_local(K, dims, axis_name)
+                LKs.append(L_K)
+                ldKhs.append(panel_logdet_half_local(L_K, dims,
+                                                     axis_name))
+                if q > 1 and gi == 0:
+                    G, dKinv = panel_tri_inv_local(L_K, dims, axis_name)
+                    Gs.append(G)
+                    dKinvs.append(dKinv)
+        return (LKs, jnp.stack(ldKhs), Gs, dKinvs,
+                node_c, weight_c)
+
+    def _gp_free(structure, cp, t_pad, d_add, pred, L_K, keep_LA):
         """Update + ELBO ingredients for one GP (mirror of
-        `_sweep_free_lean.gp_free`, q = 1 pairing)."""
+        `_sweep_free_lean.gp_free`), against the prefactored prior
+        ``L_K``; ``keep_LA`` also returns the A-factor slab (q > 1
+        node cross traces need L_{A_k})."""
         K = _slab_kernel(structure, cp, t_pad, jnp.zeros(Np, t_pad.dtype),
                          elbo_mode=True)
         gr = slab_rows(dims, axis_name)
-        L_K = panel_cholesky_local(K, dims, axis_name)
-        ldK_half = panel_logdet_half_local(L_K, dims, axis_name)
         A = K.at[jnp.arange(Nl), gr].add(
             jnp.where(gr < N, jnp.take(d_add, gr), 0.0))
         L_A = panel_cholesky_local(A, dims, axis_name)
@@ -173,7 +212,8 @@ def make_panel_engine(spec: GPRNSpec, mesh: Mesh,
         dS, cn = panel_diag_trace_local(L_A, K, dims, axis_name)
         alpha = panel_cho_solve_local(L_K, mu, dims, axis_name)
         muKmu = jnp.dot(mu, alpha)
-        return (mu[:N], dS[:N], cn[:N], ldK_half, ldA, muKmu)
+        out = (mu[:N], dS[:N], cn[:N], ldA, muKmu)
+        return out + ((L_A,) if keep_LA else ())
 
     # ---- sweep assembly (mirrors models/gprn lean sweeps) ------------
 
@@ -227,50 +267,73 @@ def make_panel_engine(spec: GPRNSpec, mesh: Mesh,
         dSw = jnp.stack([o[1] for o in outs]).reshape(q, p, N)
         return mu_f, dSf, mu_w, dSw.transpose(1, 0, 2)
 
-    def _sweep_free(theta, t_pad, y_c, y_raw, variance,
+    def _sweep_free(priors, t_pad, y_c, y_raw, variance,
                     muF, varF, muW, varW):
-        """Reference-semantics sweep + ELBO, q = 1 (no cross traces;
-        the raw (p,q,N)→(q·p,N) weight-prior flatten is the identity)."""
-        node_p, weight_p, _, _ = unpack_parameters(spec, theta)
-        node_c = _core(node_p, node_maps)
-        weight_c = _core(weight_p, weight_maps)
+        """Reference-semantics sweep + ELBO, any (q, p), against the
+        per-fit prior factors from `_prior_factors` (mirror of the
+        single-chip `_sweep_free_lean`, models/gprn.py:619)."""
+        LKs, ldKh, Gs, dKinvs, node_c, weight_c = priors
 
         dv, pred = _stage_inputs(y_c, variance, muF, muW, varW)
         inv_dv = 1.0 / dv
         n_out = [_gp_free(s, node_c[j], t_pad, _pad(inv_dv[j]),
-                          _pad(pred[j]))
+                          _pad(pred[j]), LKs[j], keep_LA=q > 1)
                  for j, s in enumerate(spec.node_structs)]
         mu_f = jnp.stack([o[0] for o in n_out])
         dSf = jnp.stack([o[1] for o in n_out])
         cn_f = jnp.stack([o[2] for o in n_out])
-        ldKh_f = jnp.stack([o[3] for o in n_out])
-        ldA_f = jnp.stack([o[4] for o in n_out])
-        muKmu_f = jnp.stack([o[5] for o in n_out])
+        ldA_f = jnp.stack([o[3] for o in n_out])
+        muKmu_f = jnp.stack([o[4] for o in n_out])
 
         ratio, pred2 = _weight_inputs(y_c, variance, muW, mu_f, dSf)
         w_out = [_gp_free(s, weight_c[a], t_pad, _pad(ratio[a]),
-                          _pad(pred2[a]))
+                          _pad(pred2[a]), LKs[q + a], keep_LA=False)
                  for a, s in enumerate(spec.weight_structs)]
         mu_w_flat = jnp.stack([o[0] for o in w_out])
         dSw = jnp.stack([o[1] for o in w_out])
         cn_w = jnp.stack([o[2] for o in w_out])
-        ldKh_w = jnp.stack([o[3] for o in w_out])
-        ldA_w = jnp.stack([o[4] for o in w_out])
-        muKmu_w = jnp.stack([o[5] for o in w_out])
+        ldA_w = jnp.stack([o[3] for o in w_out])
+        muKmu_w = jnp.stack([o[4] for o in w_out])
         mu_w = mu_w_flat.reshape(q, p, N).transpose(1, 0, 2)
         dSw_qp = dSw.reshape(q, p, N)
+
+        if q > 1:
+            # reference quirk (meanfield.py:1021): weight means enter
+            # the prior RAW-flattened (p,q,N)→(q·p,N), pairing row a
+            # with weight GP a's prior kernel — recompute μᵀK⁻¹μ with
+            # the scrambled partner against the prefactored panels
+            muW_prior = mu_w.reshape(qp, N)
+            muKmu_rows = []
+            for a in range(qp):
+                mp = _pad(muW_prior[a])
+                alpha = panel_cho_solve_local(LKs[q + a], mp, dims,
+                                              axis_name)
+                muKmu_rows.append(jnp.dot(mp, alpha))
+            muKmu_w = jnp.stack(muKmu_rows)
 
         # entropy: ½ Σ log det Σ via the determinant identity
         ldD_f = jnp.sum(jnp.log(dv), axis=1)
         ldD_w = -jnp.sum(jnp.log(ratio), axis=1)
-        ldKh = jnp.concatenate([ldKh_f, ldKh_w])
         ldSig = (2.0 * ldKh - jnp.concatenate([ldA_f, ldA_w])
                  - jnp.concatenate([ldD_f, ldD_w]))
         ent = 0.5 * jnp.sum(ldSig) \
             + 0.5 * q * (p + 1) * N * (1 + jnp.log(2 * jnp.pi))
 
-        # expected log prior (q = 1: no cumulative cross terms)
-        tr_f = jnp.sum(cn_f * dv, axis=1)
+        # expected log prior; node j's trace term uses the CUMULATIVE
+        # sum of sigma_f over nodes <= j (reference meanfield.py:1039):
+        # cross terms tr(K_j⁻¹Σ_k) = Σ diag(K_j⁻¹)·inv_dv_k −
+        # ‖L_{A_k}⁻¹ D_k⁻¹ L_j⁻ᵀ‖²_F, streamed panel-distributed
+        tr_f_rows = [jnp.sum(cn_f[j] * dv[j]) for j in range(q)]
+        if q > 1:
+            L_Af = [o[5] for o in n_out]
+            for j in range(1, q):
+                for k in range(j):
+                    term1 = jnp.dot(dKinvs[j][:N], inv_dv[k])
+                    term2 = panel_fro_cross_local(
+                        L_Af[k], Gs[j], _pad(inv_dv[k]), dims,
+                        axis_name)
+                    tr_f_rows[j] = tr_f_rows[j] + term1 - term2
+        tr_f = jnp.stack(tr_f_rows)
         tr_w = jnp.sum(cn_w / ratio, axis=1)
         muKmu_all = jnp.concatenate([muKmu_f, muKmu_w])
         tr_all = jnp.concatenate([tr_f, tr_w])
@@ -334,10 +397,13 @@ def make_panel_engine(spec: GPRNSpec, mesh: Mesh,
 
     def _refine_inner(theta, t_pad, y_c, y_raw, variance,
                       muF0, varF0, muW0, varW0, n_sweeps):
+        priors = _prior_factors(theta, t_pad)
+
         def step(carry, _):
             muF, varF, muW, varW = carry
             elbo, mu_f, varf, mu_w, varw = _sweep_free(
-                theta, t_pad, y_c, y_raw, variance, muF, varF, muW, varW)
+                priors, t_pad, y_c, y_raw, variance, muF, varF,
+                muW, varW)
             return (mu_f, varf, mu_w, varw), elbo
 
         (muF, varF, muW, varW), elbos = lax.scan(
@@ -346,10 +412,13 @@ def make_panel_engine(spec: GPRNSpec, mesh: Mesh,
 
     def _elbo_fit_inner(theta, t_pad, y_c, y_raw, variance,
                         muF0, varF0, muW0, varW0, max_iter):
+        priors = _prior_factors(theta, t_pad)
+
         def body(state):
             muF, varF, muW, varW, _, hist, it, done = state
             elbo, mu_f, varf, mu_w, varw = _sweep_free(
-                theta, t_pad, y_c, y_raw, variance, muF, varF, muW, varW)
+                priors, t_pad, y_c, y_raw, variance, muF, varF,
+                muW, varW)
             hist = jnp.concatenate([hist[1:], jnp.array([elbo])])
             it = it + 1
             crit = jnp.abs(jnp.std(hist) / jnp.mean(hist))
@@ -390,10 +459,6 @@ def make_panel_engine(spec: GPRNSpec, mesh: Mesh,
 
     @partial(jax.jit, static_argnums=(6,))
     def elbo_refine_panel(theta, t, y, yerr2, mu0, var0, n_sweeps):
-        if q != 1:
-            raise NotImplementedError(
-                "panel ELBO path supports q = 1 (q > 1 cross traces "
-                "need N×N inverses; use the single-chip engine)")
         theta = jnp.asarray(theta)
         t_pad = _pad(jnp.asarray(t))
         y_c, y_raw, variance = _prepare(theta, t, y, yerr2)
@@ -408,10 +473,6 @@ def make_panel_engine(spec: GPRNSpec, mesh: Mesh,
 
     @jax.jit
     def elbo_fit_panel(theta, t, y, yerr2, mu0, var0, max_iter=10000):
-        if q != 1:
-            raise NotImplementedError(
-                "panel ELBO path supports q = 1 (q > 1 cross traces "
-                "need N×N inverses; use the single-chip engine)")
         theta = jnp.asarray(theta)
         t_pad = _pad(jnp.asarray(t))
         y_c, y_raw, variance = _prepare(theta, t, y, yerr2)

@@ -183,11 +183,8 @@ def test_panel_nonstationary_and_composite_kernels():
                                atol=1e-8 * (1 + np.max(np.abs(mu_r))))
 
 
-def test_panel_q2_updates():
-    """fit_state_panel supports q > 1 (updates have no cross-trace
-    terms); ELBO paths raise the documented NotImplementedError."""
-    rng = np.random.default_rng(3)
-    N = 80
+def _problem_q2(N=80, seed=3):
+    rng = np.random.default_rng(seed)
     t = np.sort(rng.uniform(0, 100, N))
     y = np.sin(2 * np.pi * t / 31) + 0.05 * rng.standard_normal(N)
     gprn = g.inference(2, t, y, 0.05 * np.ones(N))
@@ -197,6 +194,12 @@ def test_panel_q2_updates():
         [g.covfunc.SquaredExponential(1., 50.),
          g.covfunc.Matern32(1., 45.)],
         [None], [0.05])
+    return gprn
+
+
+def test_panel_q2_updates():
+    """fit_state_panel at q > 1 (updates have no cross-trace terms)."""
+    gprn = _problem_q2()
     eng = gprn.engine
     theta = gprn._theta()
     tt = np.asarray(gprn.time, dtype=float)
@@ -209,9 +212,130 @@ def test_panel_q2_updates():
     assert int(it_r) == int(it_p)
     np.testing.assert_allclose(np.asarray(mu_p), np.asarray(mu_r),
                                atol=1e-8 * (1 + np.max(np.abs(mu_r))))
-    with pytest.raises(NotImplementedError):
-        pe.elbo_refine_panel(theta, tt, gprn.y, gprn.yerr2,
-                             mu0, var0, 2)
+
+
+def test_panel_tri_inv_and_fro_cross_match_dense():
+    """The q > 1 cross-trace primitives: panel triangular inversion
+    (row slabs of L⁻¹ + diag(K⁻¹)) and the streaming Frobenius norm
+    ‖L_A⁻¹ diag(d) Gᵀ‖² against dense references, incl. padding."""
+    N, B = 140, 16
+    dims = pp.panel_dims(N, 8, B)
+    rng = np.random.default_rng(11)
+    M = rng.standard_normal((N, N))
+    K = M @ M.T + N * np.eye(N)
+    M2 = rng.standard_normal((N, N))
+    A = M2 @ M2.T + N * np.eye(N)
+    d = 0.1 + rng.random(N)
+    Kp = np.eye(dims.Np)
+    Kp[:N, :N] = K
+    Ap = np.eye(dims.Np)
+    Ap[:N, :N] = A
+    dp = np.zeros(dims.Np)
+    dp[:N] = d
+
+    def inner(K_slab, A_slab, d_rep):
+        L_K = pp.panel_cholesky_local(K_slab, dims, "lat")
+        G, dKinv = pp.panel_tri_inv_local(L_K, dims, "lat")
+        L_A = pp.panel_cholesky_local(A_slab, dims, "lat")
+        frob = pp.panel_fro_cross_local(L_A, G, d_rep, dims, "lat")
+        Gfull = jax.lax.all_gather(G, "lat", tiled=True)
+        return Gfull, dKinv, frob
+
+    f = jax.jit(jax.shard_map(
+        inner, mesh=_mesh(),
+        in_specs=(P("lat", None), P("lat", None), P()),
+        out_specs=(P(),) * 3, check_vma=False))
+    Gfull, dKinv, frob = f(jnp.asarray(Kp), jnp.asarray(Ap),
+                           jnp.asarray(dp))
+    L_ref = np.linalg.cholesky(K)
+    G_ref = np.linalg.inv(L_ref)
+    np.testing.assert_allclose(np.asarray(Gfull)[:N, :N], G_ref,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(dKinv)[:N],
+                               np.diag(np.linalg.inv(K)), rtol=1e-8)
+    LA_ref = np.linalg.cholesky(A)
+    W_ref = np.linalg.solve(LA_ref, np.diag(d) @ G_ref.T)
+    assert abs(float(frob) - np.sum(W_ref ** 2)) < 1e-8 * (
+        1 + np.sum(W_ref ** 2))
+
+
+def test_panel_elbo_refine_q2_matches_engine():
+    """q = 2 reference-semantics sweeps + ELBO: the cumulative
+    cross-trace quirk and the raw-flatten weight-prior pairing, panel-
+    distributed, against the single-chip engine."""
+    gprn = _problem_q2()
+    eng = gprn.engine
+    theta = gprn._theta()
+    tt = np.asarray(gprn.time, dtype=float)
+    mu0, var0 = eng.init_mu_var(theta, gprn.y)
+    pe = make_panel_engine(eng.spec, _mesh(), block=16)
+    e_r, mu_r, var_r = eng.elbo_refine(theta, tt, gprn.y, gprn.yerr2,
+                                       mu0, var0, 4)
+    e_p, mu_p, var_p = pe.elbo_refine_panel(theta, tt, gprn.y,
+                                            gprn.yerr2, mu0, var0, 4)
+    assert abs(float(e_p) - float(e_r)) < 1e-9 * abs(float(e_r))
+    np.testing.assert_allclose(np.asarray(mu_p), np.asarray(mu_r),
+                               atol=1e-8 * (1 + np.max(np.abs(mu_r))))
+    np.testing.assert_allclose(np.asarray(var_p), np.asarray(var_r),
+                               atol=1e-8 * (1 + np.max(np.abs(var_r))))
+
+
+def test_panel_elbo_fit_q2p2_matches_engine():
+    """q = 2, p = 2 full reference fit (ELBO stopping rule): identical
+    ELBO and iteration count vs the single-chip engine."""
+    rng = np.random.default_rng(5)
+    N = 100
+    t = np.sort(rng.uniform(0, 100, N))
+    args = []
+    for i in range(2):
+        args += [np.sin(2 * np.pi * t / 31 + i) +
+                 0.05 * rng.standard_normal(N), 0.05 * np.ones(N)]
+    gprn = g.inference(2, t, *args)
+    gprn.set_components(
+        [g.covfunc.QuasiPeriodic(1., 40., 31., .7),
+         g.covfunc.SquaredExponential(.8, 60.)],
+        [g.covfunc.SquaredExponential(1. + .1 * a, 50. + 5 * a)
+         for a in range(4)],
+        [None] * 2, [0.05] * 2)
+    eng = gprn.engine
+    theta = gprn._theta()
+    tt = np.asarray(gprn.time, dtype=float)
+    mu0, var0 = eng.init_mu_var(theta, gprn.y)
+    pe = make_panel_engine(eng.spec, _mesh(), block=16)
+    e_r, _, _, it_r, done_r, _ = eng.elbo_fit(
+        theta, tt, gprn.y, gprn.yerr2, mu0, var0, 150)
+    e_p, _, _, it_p, done_p = pe.elbo_fit_panel(
+        theta, tt, gprn.y, gprn.yerr2, mu0, var0, 150)
+    assert int(it_r) == int(it_p) and bool(done_p) == bool(done_r)
+    assert abs(float(e_p) - float(e_r)) < 1e-9 * abs(float(e_r))
+
+
+def test_panel_elbo_refine_q3_multiple_cross_pairs():
+    """q = 3: all three (j, k) cumulative cross pairs exercised."""
+    rng = np.random.default_rng(9)
+    N = 72
+    t = np.sort(rng.uniform(0, 100, N))
+    y = np.sin(2 * np.pi * t / 31) + 0.05 * rng.standard_normal(N)
+    gprn = g.inference(3, t, y, 0.05 * np.ones(N))
+    gprn.set_components(
+        [g.covfunc.QuasiPeriodic(1., 40., 31., .7),
+         g.covfunc.SquaredExponential(.8, 60.),
+         g.covfunc.Matern52(.9, 35.)],
+        [g.covfunc.SquaredExponential(1. + .1 * a, 50. + 5 * a)
+         for a in range(3)],
+        [None], [0.05])
+    eng = gprn.engine
+    theta = gprn._theta()
+    tt = np.asarray(gprn.time, dtype=float)
+    mu0, var0 = eng.init_mu_var(theta, gprn.y)
+    pe = make_panel_engine(eng.spec, _mesh(), block=8)
+    e_r, mu_r, _ = eng.elbo_refine(theta, tt, gprn.y, gprn.yerr2,
+                                   mu0, var0, 3)
+    e_p, mu_p, _ = pe.elbo_refine_panel(theta, tt, gprn.y, gprn.yerr2,
+                                        mu0, var0, 3)
+    assert abs(float(e_p) - float(e_r)) < 1e-9 * abs(float(e_r))
+    np.testing.assert_allclose(np.asarray(mu_p), np.asarray(mu_r),
+                               atol=1e-8 * (1 + np.max(np.abs(mu_r))))
 
 
 @pytest.mark.slow
