@@ -504,14 +504,19 @@ def make_engine(spec: GPRNSpec,
         dSw = dSw.reshape(q, p, N)
         return mu_f, dSf, mu_w, dSw.transpose(1, 0, 2)
 
-    def _gp_update_lean(structure, cp, t, d_add, pred):
+    def _gp_update_lean(structure, cp, t, d_add, pred,
+                        builder=kernel_matrix_plain):
         """One GP's coordinate update with the kernel matrix REBUILT in
         place (O(N²) — negligible next to the O(N³) solves) instead of
         read from a stored lattice: peak memory is ~4 N² buffers
         (K, A's factor, the L⁻¹ strips) regardless of q·p, the
         single-chip path to BASELINE config 5's N=20k
-        (vs the reference's dense lattice, meanfield.py:771,850)."""
-        K = kernel_matrix_plain(structure, cp, t, TRAIN_NUGGET)
+        (vs the reference's dense lattice, meanfield.py:771,850).
+        ``builder`` selects the K builder: the exact-nugget
+        `kernel_matrix_plain` for the mixed-precision update path, the
+        elbo-path `kernel_matrix` when driven from `elbo_refine_lean`
+        (so its trajectory matches `_sweep_free_lean` in any dtype)."""
+        K = builder(structure, cp, t, TRAIN_NUGGET)
         idx = jnp.arange(N)
         A = K.at[idx, idx].add(d_add)
         L, dAinv = _chol_diag_ainv(A[None])
@@ -521,7 +526,8 @@ def make_engine(spec: GPRNSpec,
         dS = _diag_sigma(d_add, dAinv[0], jnp.diagonal(K))
         return sig_rhs, dS
 
-    def _sweep_updates_lean(theta, t, y_c, variance, muF, varF, muW, varW):
+    def _sweep_updates_lean(theta, t, y_c, variance, muF, varF, muW, varW,
+                            builder=kernel_matrix_plain):
         """`_sweep_updates` with per-GP sequential processing and
         in-sweep kernel rebuilds (see `_gp_update_lean`)."""
         node_p, weight_p, _, _ = unpack_parameters(spec, theta)
@@ -546,14 +552,15 @@ def make_engine(spec: GPRNSpec,
                 if len(idxs) == 1:
                     a = idxs[0]
                     mu_rows[a], dS_rows[a] = _gp_update_lean(
-                        s, params[a], t, d_adds[a], preds[a])
+                        s, params[a], t, d_adds[a], preds[a], builder)
                     continue
                 cp = jnp.stack([jnp.asarray(params[a]) for a in idxs])
                 da = jnp.stack([d_adds[a] for a in idxs])
                 pr = jnp.stack([preds[a] for a in idxs])
                 ms, dss = lax.map(
                     lambda args, s=s: _gp_update_lean(s, args[0], t,
-                                                      args[1], args[2]),
+                                                      args[1], args[2],
+                                                      builder),
                     (cp, da, pr))
                 for j, a in enumerate(idxs):
                     mu_rows[a] = ms[j]
@@ -811,22 +818,27 @@ def make_engine(spec: GPRNSpec,
     def elbo_refine_lean(theta, t, y, yerr2, mu0, var0, n_sweeps: int):
         """Fixed-count lean sweeps + ELBO at the final state: the
         memory-lean `elbo_refine` (static sweep count — the polish is
-        a small fixed number, typically 3)."""
+        a small fixed number, typically 3).  Only the final sweep's
+        ELBO is returned, so the first n−1 sweeps run updates-only
+        (one Cholesky per GP instead of gp_free's two, no prior/term
+        work) on the SAME elbo-path kernel builder, and the full
+        `_sweep_free_lean` runs once as sweep n — identical trajectory,
+        roughly half the per-sweep factorization cost."""
         y_c, y_raw, variance = _prepare_lean(theta, t, y, yerr2)
         muF0, muW0 = _u_split(jnp.asarray(mu0).ravel())
         varF0, varW0 = _u_split(jnp.asarray(var0).ravel())
 
         def step(carry, _):
-            muF, varF, muW, varW = carry
-            elbo, mu_f, varf, mu_w, varw = _sweep_free_lean(
-                theta, t, y_c, y_raw, variance, muF, varF, muW, varW)
-            return (mu_f, varf, mu_w, varw), elbo
+            return _sweep_updates_lean(theta, t, y_c, variance, *carry,
+                                       builder=kernel_matrix), None
 
-        (muF, varF, muW, varW), elbos = lax.scan(
-            step, (muF0, varF0, muW0, varW0), None, length=n_sweeps)
+        (muF1, varF1, muW1, varW1), _ = lax.scan(
+            step, (muF0, varF0, muW0, varW0), None, length=n_sweeps - 1)
+        elbo, muF, varF, muW, varW = _sweep_free_lean(
+            theta, t, y_c, y_raw, variance, muF1, varF1, muW1, varW1)
         mu = jnp.concatenate([muF.ravel(), muW.ravel()])
         var = jnp.concatenate([varF.ravel(), varW.ravel()])
-        return elbos[-1], mu, var
+        return elbo, mu, var
 
     def fit_state_lean(theta, t, y, yerr2, mu0, var0, max_iter, tol):
         """Memory-lean `fit_state`: identical update map, but the
@@ -991,7 +1003,16 @@ def make_engine(spec: GPRNSpec,
         costs one carry copy per iteration.  ``bucket`` is the static
         scan length, rounded up to a power of two by the dispatcher —
         one compilation per (structure, bucket) instead of one per
-        sweep count, with the no-op tail bounded at <2×."""
+        sweep count, with the no-op tail bounded at <2×.
+
+        Only the FINAL sweep's ELBO is returned, so the first n−1
+        sweeps run the updates-only body (`_sweep_updates` — the same
+        ops as `_sweep`'s update section, on the same prepared
+        matrices) and the full `_sweep` with its term computations
+        (prior solves, determinants, the q>1 O(N³) cross traces) runs
+        exactly once, unconditionally, as sweep n.  With the sweep
+        count traced, XLA cannot discover this dead work itself —
+        every masked iteration *might* be the last one."""
         Kf, Kw_flat, L_all, Linv_nodes, y_c, y_raw, variance = _prepare(
             theta, t, y, yerr2)
         muF0, muW0 = _u_split(jnp.asarray(mu0).ravel())
@@ -1000,38 +1021,34 @@ def make_engine(spec: GPRNSpec,
 
         def step(carry, i):
             def do(c):
-                muF, varF, muW, varW, _ = c
-                elbo, mu_f, varf, mu_w, varw = _sweep(
-                    Kf, Kw_flat, L_all, Linv_nodes, y_c, y_raw, variance,
-                    muF, varF, muW, varW)
-                return (mu_f, varf, mu_w, varw, elbo)
+                return _sweep_updates(Kf, Kw_flat, y_c, variance, *c)
 
-            carry = lax.cond(i < n, do, lambda c: c, carry)
+            carry = lax.cond(i < n - 1, do, lambda c: c, carry)
             return carry, None
 
-        init = (muF0, varF0, muW0, varW0, jnp.array(0.0, muF0.dtype))
-        (muF, varF, muW, varW, elbo), _ = lax.scan(
+        init = (muF0, varF0, muW0, varW0)
+        (muF1, varF1, muW1, varW1), _ = lax.scan(
             step, init, jnp.arange(bucket, dtype=jnp.int32))
-        return elbo, muF, varF, muW, varW
+        return _sweep(Kf, Kw_flat, L_all, Linv_nodes, y_c, y_raw,
+                      variance, muF1, varF1, muW1, varW1)
 
     def _static_sweeps(theta, t, y, yerr2, mu0, var0, n_sweeps: int):
         """Fixed-length scan for sweep counts above ``MAX_SWEEPS``
-        (compiled per count — rare diagnostic use)."""
+        (compiled per count — rare diagnostic use).  Same dead-work
+        elision as `_masked_sweeps`: n−1 updates-only sweeps, then one
+        full `_sweep` whose ELBO is the result."""
         Kf, Kw_flat, L_all, Linv_nodes, y_c, y_raw, variance = _prepare(
             theta, t, y, yerr2)
         muF0, muW0 = _u_split(jnp.asarray(mu0).ravel())
         varF0, varW0 = _u_split(jnp.asarray(var0).ravel())
 
         def step(carry, _):
-            muF, varF, muW, varW = carry
-            elbo, mu_f, varf, mu_w, varw = _sweep(
-                Kf, Kw_flat, L_all, Linv_nodes, y_c, y_raw, variance,
-                muF, varF, muW, varW)
-            return (mu_f, varf, mu_w, varw), elbo
+            return _sweep_updates(Kf, Kw_flat, y_c, variance, *carry), None
 
-        (muF, varF, muW, varW), elbos = lax.scan(
-            step, (muF0, varF0, muW0, varW0), None, length=n_sweeps)
-        return elbos[-1], muF, varF, muW, varW
+        (muF1, varF1, muW1, varW1), _ = lax.scan(
+            step, (muF0, varF0, muW0, varW0), None, length=n_sweeps - 1)
+        return _sweep(Kf, Kw_flat, L_all, Linv_nodes, y_c, y_raw,
+                      variance, muF1, varF1, muW1, varW1)
 
     def _mk_elbo_fixed(sweeps_fn):
         def elbo_fixed(theta, t, y, yerr2, mu0, var0, n_sweeps,
