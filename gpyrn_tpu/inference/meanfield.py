@@ -653,10 +653,31 @@ class inference:
 
     # -- TPU-native gradient surface ------------------------------------
 
-    def elbo_grad(self, parameters=None, n_sweeps=30, mu=None, var=None):
-        """ELBO and its gradient w.r.t. all hyperparameters, by autodiff
-        through ``n_sweeps`` coordinate-ascent sweeps (one fused jitted
-        computation — the reference has no gradient path at all)."""
+    def elbo_grad(self, parameters=None, n_sweeps=30, mu=None, var=None,
+                  method='unroll', fit_tol=None, fit_max_iter=2000,
+                  adjoint='gmres', adjoint_maxiter=25,
+                  adjoint_restart=20, adjoint_tol=None):
+        """ELBO and its gradient w.r.t. all hyperparameters.
+
+        ``method='unroll'`` (default) differentiates through ``n_sweeps``
+        coordinate-ascent sweeps (one fused jitted computation — the
+        reference has no gradient path at all): the exact gradient of the
+        truncated objective, cost and memory linear in ``n_sweeps``.
+
+        ``method='implicit'`` first converges the variational state
+        (``fit_state`` warm-started from ``mu``/``var``, stopping at
+        ``fit_tol`` relative state change within ``fit_max_iter``
+        sweeps), then computes the gradient OF THE CONVERGED ELBO by the
+        implicit function theorem at the fixed point
+        (models/implicit.py): O(1) memory in the sweep count and exactly
+        the objective the reference's ``optimize()`` descends
+        (meanfield.py:1095-1152 semantics).  ``n_sweeps`` is ignored;
+        the adjoint linear solve is controlled by ``adjoint``
+        ('gmres' | 'neumann'), ``adjoint_maxiter``, ``adjoint_restart``
+        and ``adjoint_tol`` (see
+        :func:`gpyrn_tpu.models.implicit.make_implicit_value_and_grad`).
+        The converged state is cached like a converged ``ELBOcalc``
+        (warm-starting subsequent calls)."""
         self._require_components()
         if parameters is not None:
             self.set_parameters(parameters)
@@ -664,10 +685,29 @@ class inference:
         if mu is None:
             mu, var = 'previous', 'previous'
         mu0, var0 = self._resolve_mu_var(mu, var, theta)
-        value, grad = self.engine.elbo_value_and_grad(
-            theta, np.asarray(self.time, dtype=float), self.y, self.yerr2,
-            mu0, var0, n_sweeps)
-        return float(value), np.asarray(grad)
+        t_arr = np.asarray(self.time, dtype=float)
+        if method == 'unroll':
+            value, grad = self.engine.elbo_value_and_grad(
+                theta, t_arr, self.y, self.yerr2, mu0, var0, n_sweeps)
+            return float(value), np.asarray(grad)
+        if method != 'implicit':
+            raise ValueError("method must be 'unroll' or 'implicit', "
+                             f"got {method!r}")
+        from gpyrn_tpu.models.implicit import implicit_value_and_grad_for
+        mu_s, var_s, _, converged = self.engine.fit_state(
+            theta, t_arr, self.y, self.yerr2, mu0, var0,
+            int(fit_max_iter),
+            fit_tol if fit_tol is not None else
+            (1e-12 if np.asarray(mu0).dtype == np.float64 else 1e-6))
+        if not bool(converged):
+            print('\nMax iterations reached')
+        res = implicit_value_and_grad_for(self.engine)(
+            theta, t_arr, self.y, self.yerr2, mu_s, var_s,
+            adjoint=adjoint, maxiter=int(adjoint_maxiter),
+            restart=int(adjoint_restart), tol=adjoint_tol)
+        self._mu = np.asarray(mu_s)
+        self._var = np.asarray(var_s)
+        return float(res.elbo), np.asarray(res.grad)
 
     # ------------------------------------------------------------------
     # optimization
@@ -746,9 +786,25 @@ class inference:
                 'elbo': elbo}
 
     def optimize_adam(self, vars=None, n_steps=200, learning_rate=5e-2,
-                      n_sweeps=30, transform='log', callback=None):
-        """TPU-native gradient optimizer: optax Adam on the negative ELBO,
-        with gradients through the coordinate-ascent sweeps.
+                      n_sweeps=30, transform='log', callback=None,
+                      grad='unroll', fit_tol=None, fit_max_iter=200,
+                      adjoint='gmres', adjoint_maxiter=25,
+                      adjoint_restart=20):
+        """TPU-native gradient optimizer: optax Adam on the negative ELBO.
+
+        ``grad='unroll'`` (default) differentiates through ``n_sweeps``
+        coordinate-ascent sweeps from the state cached at entry — a
+        fixed, deterministic objective.
+
+        ``grad='implicit'`` is the bilevel optimizer: every step
+        re-converges the variational state (``fit_state`` warm-started
+        from the previous step's state — a handful of sweeps once the
+        trajectory settles, capped at ``fit_max_iter``) and takes the
+        EXACT gradient of the converged ELBO by the implicit function
+        theorem (models/implicit.py), so the outer objective is the same
+        fully-converged ELBO that ``optimize()``'s Nelder-Mead descends,
+        with O(1) memory in the inner iteration count.  ``n_sweeps`` is
+        ignored in this mode.
 
         ``transform='log'`` optimizes log-parameters (all GPRN amplitude /
         length-scale / jitter parameters are positive), which is both
@@ -776,11 +832,6 @@ class inference:
         def from_opt(z):
             return jnp.exp(z) if use_log else z
 
-        def loss(z):
-            theta = jnp.where(free_j, from_opt(z), base)
-            return -eng.elbo_fixed(theta, t, self.y, self.yerr2,
-                                   mu0, var0, n_sweeps)
-
         z = to_opt(jnp.where(free_j, jnp.asarray(theta_full),
                              jnp.ones_like(base)))
         opt = optax.adam(learning_rate)
@@ -788,15 +839,48 @@ class inference:
 
         import jax as _jax
 
-        @_jax.jit
-        def update(z, state):
-            v, g = _jax.value_and_grad(loss)(z)
-            updates, state = opt.update(g, state)
-            return optax.apply_updates(z, updates), state, v
+        if grad == 'implicit':
+            from gpyrn_tpu.models.implicit import \
+                implicit_value_and_grad_for
+            ivag = implicit_value_and_grad_for(eng)
+            tol = fit_tol if fit_tol is not None else \
+                (1e-11 if np.asarray(mu0).dtype == np.float64 else 1e-6)
+
+            @_jax.jit
+            def update(z, state, mu, var):
+                theta = jnp.where(free_j, from_opt(z), base)
+                mu2, var2, _, _ = eng.fit_state(
+                    theta, t, self.y, self.yerr2, mu, var,
+                    fit_max_iter, tol)
+                res = ivag(theta, t, self.y, self.yerr2, mu2, var2,
+                           adjoint=adjoint, maxiter=adjoint_maxiter,
+                           restart=adjoint_restart)
+                g_theta = -res.grad                      # d(−ELBO)/dθ
+                dtheta_dz = from_opt(z) if use_log else \
+                    jnp.ones_like(z)
+                gz = jnp.where(free_j, g_theta * dtheta_dz, 0.0)
+                updates, state2 = opt.update(gz, state)
+                return (optax.apply_updates(z, updates), state2,
+                        -res.elbo, mu2, var2)
+        else:
+            def loss(zz):
+                theta = jnp.where(free_j, from_opt(zz), base)
+                return -eng.elbo_fixed(theta, t, self.y, self.yerr2,
+                                       mu0, var0, n_sweeps)
+
+            @_jax.jit
+            def update(z, state):
+                v, g = _jax.value_and_grad(loss)(z)
+                updates, state = opt.update(g, state)
+                return optax.apply_updates(z, updates), state, v
 
         best_v, best_z = np.inf, z
+        mu_c, var_c = mu0, var0
         for step in range(n_steps):
-            z, state, v = update(z, state)
+            if grad == 'implicit':
+                z, state, v, mu_c, var_c = update(z, state, mu_c, var_c)
+            else:
+                z, state, v = update(z, state)
             v = float(v)
             if v < best_v:
                 best_v, best_z = v, z
@@ -805,6 +889,9 @@ class inference:
 
         theta = np.asarray(jnp.where(free_j, from_opt(best_z), base))
         self.set_parameters(theta)
+        if grad == 'implicit':
+            # the trajectory's final state warm-starts the cache refresh
+            self._mu, self._var = np.asarray(mu_c), np.asarray(var_c)
         # refresh the variational cache at the optimum
         elbo, *_ = self.ELBOcalc(mu='previous', var='previous')
         return {'fun': best_v, 'x': theta[free], 'elbo': elbo,
