@@ -255,7 +255,9 @@ def measure_north_star():
         # -- parity at N=1000: df64 refine vs f64 CPU refine, same state --
         g1 = _problem(1000)
         mu32, var32, it1, fw1 = _chunked_fit(g1, 1000, max_chunks=4)
-        t0 = time.perf_counter()
+        e_df, _, _ = refine_exact(g1, np.float64(1.0) * mu32,
+                                  np.float64(1.0) * var32, n_sweeps=3)
+        t0 = time.perf_counter()        # warm timing (compile excluded)
         e_df, _, _ = refine_exact(g1, np.float64(1.0) * mu32,
                                   np.float64(1.0) * var32, n_sweeps=3)
         refine1_wall = time.perf_counter() - t0
