@@ -626,6 +626,33 @@ def measure_mcmc():
             out["mcmc_ref_s_per_step"] = round(ref_s_per_step, 2)
             out["mcmc_vs_baseline"] = round(
                 ref_s_per_step / s_per_step, 1)
+
+        # walker-population scaling: the N=1000 per-walker ELBO fit
+        # already saturates the chip at 24 walkers, so a 96-walker
+        # ensemble (4x the reference's 2·ndim default) scales linearly
+        # — the row regresses that vmapping adds NO batching overhead
+        # (aggregate walker-steps/s flat: ~200 at both widths, r3).
+        # Marginal-cost timing as above.  Disable with
+        # GPYRN_BENCH_MCMC_WIDE=0.
+        if os.environ.get("GPYRN_BENCH_MCMC_WIDE", "1") != "0":
+            try:
+                kw96 = dict(kw, nwalkers=96)
+                run_ensemble(gprn, priors, names, niter=10, **kw96)
+                t0 = time.perf_counter()
+                run_ensemble(gprn, priors, names, niter=10, **kw96)
+                t10w = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                run_ensemble(gprn, priors, names, niter=40, **kw96)
+                t40w = time.perf_counter() - t0
+                sps96 = max((t40w - t10w) / 30.0, 1e-9)
+                out["mcmc_w96_steps_per_sec"] = round(1.0 / sps96, 2)
+                out["mcmc_w96_walker_steps_per_sec"] = round(
+                    96.0 / sps96, 1)
+                if ref is not None:
+                    out["mcmc_w96_vs_baseline"] = round(
+                        96 * ref["s_per_call"] / sps96, 1)
+            except Exception as e:  # noqa: BLE001
+                out["mcmc_wide_error"] = f"{type(e).__name__}: {e}"
     except Exception as e:      # noqa: BLE001 — bench must always emit
         out["mcmc_error"] = f"{type(e).__name__}: {e}"
     return out
@@ -752,6 +779,57 @@ def measure_optimize():
                                                mu='previous',
                                                var='previous')
                 out["opt_nm30_ref_elbo_here"] = float(e_ref_here)
+
+        # The gradient path the reference lacks entirely: optax adam on
+        # jax.value_and_grad of the SAME fixed-state 20-sweep objective,
+        # 100 jitted steps (one device call each).  Scale-normalized
+        # raw-space parameters (the Solar config's Constant(0) means
+        # rule out the log transform); quality judged like the NM rows —
+        # the best θ re-evaluated by the same warm-started ELBOcalc.
+        try:
+            import optax
+            scale = jnp.maximum(jnp.abs(base), 0.1)
+
+            def loss(z):
+                return -eng.elbo_fixed(z * scale, t, y, yerr2,
+                                       mu0, var0, 20)
+
+            @jax.jit
+            def astep(z, st):
+                v, g_ = jax.value_and_grad(loss)(z)
+                upd, st = opt.update(g_, st)
+                return optax.apply_updates(z, upd), st, v
+
+            opt = optax.adam(5e-2)
+            z = base / scale
+            st = opt.init(z)
+            z, st, v = astep(z, st)              # compile
+            jax.block_until_ready(v)
+            z = base / scale
+            st = opt.init(z)
+            best_v, best_z = np.inf, z
+            t0 = time.perf_counter()
+            for _ in range(100):
+                z, st, v = astep(z, st)
+                v = float(v)                     # host sync per step
+                if v < best_v:
+                    best_v, best_z = v, z
+            out["opt_adam100_s"] = round(time.perf_counter() - t0, 2)
+            gprn.set_parameters(np.asarray(best_z * scale, dtype=float))
+            e_adam, *_ = gprn.ELBOcalc(max_iter=1000, mu='previous',
+                                       var='previous')
+            out["opt_adam100_elbo"] = float(e_adam)
+            if ref is not None:
+                out["opt_adam100_vs_baseline"] = round(
+                    ref["wall"] / max(out["opt_adam100_s"], 1e-9), 1)
+                # equal-footing quality flag: the reference's optimum as
+                # evaluated by THIS engine (falls back to its own f64
+                # number when /root/reference wasn't importable)
+                ref_q = out.get("opt_nm30_ref_elbo_here", ref["elbo"])
+                out["opt_adam100_beats_ref"] = bool(
+                    float(e_adam) >= float(ref_q))
+        except Exception as e:  # noqa: BLE001
+            out["opt_adam_error"] = f"{type(e).__name__}: {e}"
     except Exception as e:      # noqa: BLE001 — bench must always emit
         out["opt_error"] = f"{type(e).__name__}: {e}"
     return out
@@ -837,6 +915,107 @@ def _backend_alive(timeout_s=180):
 _PLATFORM_NOTE = {}
 
 
+_PREDICT_REF_SNIPPET = r"""
+import json, sys, time, types, warnings
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+emcee = types.ModuleType("emcee")
+emcee.EnsembleSampler = object
+emcee.backends = types.SimpleNamespace(HDFBackend=object)
+emcee.utils = types.SimpleNamespace(sample_ellipsoid=None)
+sys.modules["emcee"] = emcee
+sys.modules["emcee.utils"] = emcee.utils
+np.float = float
+sys.path.insert(0, "/root/reference")
+with warnings.catch_warnings():
+    warnings.simplefilter("ignore", SyntaxWarning)
+    from gpyrn import covfunc as rc, meanfield as rm
+
+N = %(n)d
+rng = np.random.default_rng(0)
+t = np.sort(rng.uniform(0, 100, N))
+data = []
+for i in range(3):
+    data += [np.sin(2 * np.pi * t / (20 + 5 * i))
+             + 0.1 * rng.standard_normal(N), np.full(N, 0.1)]
+r = rm.inference(1, t, *data)
+nodes = [rc.QuasiPeriodic(1.0, 30.0, 20.0, 0.7)]
+weights = [rc.SquaredExponential(1.0 + 0.05 * k, 30.0) for k in range(3)]
+means = [None, None, None]
+jitters = [0.1, 0.1, 0.1]
+r.set_components(nodes, weights, means, jitters)
+r.ELBOcalc(nodes, weights, means, jitters, max_iter=%(fit_iters)d)
+# r.predict() itself dies on NumPy 2.0 (ndarray.ptp was removed,
+# meanfield.py:1394); time its body — the tstar grid + _Prediction —
+# exactly as predict() would run it
+tptp = np.ptp(r.time)
+tstar = np.linspace(r.time.min() - 0.2 * tptp,
+                    r.time.max() + 0.2 * tptp, %(nn)d)
+t0 = time.perf_counter()
+aa, vv, bb = r._Prediction(tstar=tstar, separate=True)
+ss = np.sqrt(vv)
+wall = time.perf_counter() - t0
+print(json.dumps({"s_per_predict": wall,
+                  "mean0": float(np.asarray(aa)[0, 0])}))
+"""
+
+
+def measure_predict():
+    """Posterior-predictive throughput on the flagship N=1000 config:
+    our fully batched lattice conditionals (one fused device call) vs
+    the reference's `_Prediction`, whose per-GP predictive variance is
+    an O(n*·N²) Python row loop (_gp.py:133-136).  Both sides fit
+    30 sweeps first (untimed) and predict at nn=2000 test points.
+    Reference cached in .bench/ref_predict_n1000.json.  Disable with
+    GPYRN_BENCH_PREDICT=0."""
+    if os.environ.get("GPYRN_BENCH_PREDICT", "1") == "0":
+        return {}
+    out = {}
+    nn = 2000
+    try:
+        gprn = _build_gprn()
+        gprn.ELBOcalc(max_iter=30)
+        tstar = np.linspace(np.min(gprn.time) - 0.2 * np.ptp(gprn.time),
+                            np.max(gprn.time) + 0.2 * np.ptp(gprn.time),
+                            nn)
+        gprn.predict(tstar=tstar)                      # compile
+        t0 = time.perf_counter()
+        _, mean, std, _ = gprn.predict(tstar=tstar)
+        out["predict_nn2000_s"] = round(time.perf_counter() - t0, 3)
+        out["predict_finite"] = bool(np.all(np.isfinite(mean))
+                                     and np.all(np.isfinite(std)))
+
+        ref_file = os.path.join(HERE, ".bench", "ref_predict_n1000.json")
+        ref = None
+        if os.path.exists(ref_file):
+            with open(ref_file) as f:
+                ref = json.load(f)
+        elif os.path.isdir("/root/reference"):
+            import subprocess
+            env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+            try:
+                res_p = subprocess.run(
+                    [sys.executable, "-c", _PREDICT_REF_SNIPPET
+                     % {"n": N, "nn": nn, "fit_iters": 30}],
+                    capture_output=True, text=True, timeout=2400,
+                    check=True, env=env)
+                ref = json.loads(res_p.stdout.strip().splitlines()[-1])
+                os.makedirs(os.path.dirname(ref_file), exist_ok=True)
+                with open(ref_file, "w") as f:
+                    json.dump(ref, f)
+            except Exception as e:  # noqa: BLE001
+                out["predict_ref_error"] = f"{type(e).__name__}: {e}"
+        if ref is not None:
+            out["predict_ref_s"] = round(ref["s_per_predict"], 2)
+            out["predict_vs_baseline"] = round(
+                ref["s_per_predict"] / max(out["predict_nn2000_s"],
+                                           1e-9), 1)
+    except Exception as e:      # noqa: BLE001 — bench must always emit
+        out["predict_error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
 def main():
     budget = int(os.environ.get("GPYRN_BENCH_TIMEOUT", "5400"))
     if os.environ.get("GPYRN_BENCH_PROBE", "1") != "0" \
@@ -851,6 +1030,7 @@ def main():
         os.environ["GPYRN_BENCH_CG"] = "0"
         os.environ["GPYRN_BENCH_MCMC"] = "0"
         os.environ["GPYRN_BENCH_OPT"] = "0"
+        os.environ["GPYRN_BENCH_PREDICT"] = "0"
         os.environ["GPYRN_BENCH_SKIP_F64"] = "1"
         _PLATFORM_NOTE["platform"] = "cpu-fallback"
         _PLATFORM_NOTE["platform_note"] = \
@@ -871,6 +1051,46 @@ def main():
         raise SystemExit(1)
 
 
+# phases runnable in an isolated subprocess (``bench.py --phase NAME``):
+# an axon "TPU worker process crashed" kills the whole process's backend,
+# so one flaky phase would otherwise erase every later phase's fields
+_PHASES = {}
+
+
+def _phase_subprocess(name, timeout=2700, tries=2):
+    """Run a measure phase isolated in a fresh process; retry once when
+    the axon worker crashed (a transient service kill, not a code
+    failure).  Falls back to in-process when already isolated."""
+    if os.environ.get("GPYRN_BENCH_INPROC", "0") == "1":
+        return _PHASES[name]()
+    import subprocess
+    out = {f"{name}_phase_error": "did not run"}
+    for attempt in range(tries):
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--phase", name],
+                capture_output=True, text=True, timeout=timeout,
+                env=dict(os.environ, GPYRN_BENCH_INPROC="1"))
+            lines = [ln for ln in res.stdout.strip().splitlines()
+                     if ln.startswith("{")]
+            if not lines:
+                raise RuntimeError(
+                    f"no JSON from phase (rc={res.returncode}, "
+                    f"stderr tail: {res.stderr[-200:]!r})")
+            out = json.loads(lines[-1])
+            errs = "; ".join(str(v) for k, v in out.items()
+                             if k.endswith("_error"))
+            if ("UNAVAILABLE" in errs or "crashed" in errs) \
+                    and attempt + 1 < tries:
+                time.sleep(30)
+                continue
+            return out
+        except Exception as e:  # noqa: BLE001
+            out = {f"{name}_phase_error": f"{type(e).__name__}: {e}"}
+    return out
+
+
 def _main():
     ours_ms, elbo, ok, ips = measure_ours()
     f64_ms, f64_elbo = measure_f64_parity()
@@ -878,8 +1098,9 @@ def _main():
     ns = measure_north_star()
     large = measure_large_n()
     large.update(measure_cg_fit())
-    large.update(measure_mcmc())
-    large.update(measure_optimize())
+    large.update(_phase_subprocess("mcmc"))
+    large.update(_phase_subprocess("opt"))
+    large.update(_phase_subprocess("predict"))
     vs = (base_ms / ours_ms) if (base_ms and ok) else float("nan")
     base_ips = (N_SWEEPS / (base_ms / 1e3)) if base_ms else None
     out = {
@@ -905,5 +1126,12 @@ def _main():
     print(json.dumps(out))
 
 
+_PHASES.update({"mcmc": measure_mcmc, "opt": measure_optimize,
+                "predict": measure_predict})
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
+        print(json.dumps(_PHASES[sys.argv[2]]()))
+    else:
+        main()
