@@ -879,15 +879,18 @@ def _f64_refine_subprocess(N, state_file, n_sweeps=3, timeout=1200):
 def _watchdog(budget):
     """A downed axon tunnel HANGS backend init indefinitely (observed
     55 min) inside a C call — signals can't interrupt it, so a daemon
-    thread emits the structured failure line and hard-exits."""
+    thread emits the structured failure line and hard-exits.  Fields
+    measured before the hang (accumulated in ``_PARTIAL``) are kept —
+    a partial record beats an error-only line."""
     import threading
 
     def fire():
-        print(json.dumps({
-            "metric": f"elbo_grad_30sweeps_walltime_N{N}_p3_QP_GPRN",
-            "value": None, "unit": "ms", "vs_baseline": None,
-            "error": f"TimeoutError: bench exceeded {budget}s "
-                     "(GPYRN_BENCH_TIMEOUT)"}), flush=True)
+        out = {"metric": f"elbo_grad_30sweeps_walltime_N{N}_p3_QP_GPRN",
+               "value": None, "unit": "ms", "vs_baseline": None}
+        out.update(_PARTIAL)
+        out["error"] = (f"TimeoutError: bench exceeded {budget}s "
+                        "(GPYRN_BENCH_TIMEOUT); partial fields kept")
+        print(json.dumps(out), flush=True)
         os._exit(1)
 
     t = threading.Timer(budget, fire)
@@ -913,6 +916,14 @@ def _backend_alive(timeout_s=180):
 
 
 _PLATFORM_NOTE = {}
+
+# fields accumulated as phases finish, so the watchdog / crash handler
+# can emit everything measured so far instead of an error-only line
+_PARTIAL = {}
+
+# absolute perf_counter() deadline set by main() from GPYRN_BENCH_TIMEOUT;
+# _phase_subprocess trims its timeouts against it
+_DEADLINE = None
 
 
 _PREDICT_REF_SNIPPET = r"""
@@ -1017,7 +1028,10 @@ def measure_predict():
 
 
 def main():
+    global _DEADLINE
     budget = int(os.environ.get("GPYRN_BENCH_TIMEOUT", "5400"))
+    if budget > 0:
+        _DEADLINE = time.perf_counter() + budget
     if os.environ.get("GPYRN_BENCH_PROBE", "1") != "0" \
             and not _backend_alive():
         # tunnel down: fall back to a TRIMMED CPU run (the N=1000 main
@@ -1044,10 +1058,11 @@ def main():
         # e.g. the axon TPU tunnel is down ("TPU backend setup/compile
         # error (Unavailable)"): still print the one JSON line so the
         # driver records a structured failure instead of nothing
-        print(json.dumps({
-            "metric": f"elbo_grad_30sweeps_walltime_N{N}_p3_QP_GPRN",
-            "value": None, "unit": "ms", "vs_baseline": None,
-            "error": f"{type(e).__name__}: {e}"}))
+        out = {"metric": f"elbo_grad_30sweeps_walltime_N{N}_p3_QP_GPRN",
+               "value": None, "unit": "ms", "vs_baseline": None}
+        out.update(_PARTIAL)
+        out["error"] = f"{type(e).__name__}: {e}"
+        print(json.dumps(out))
         raise SystemExit(1)
 
 
@@ -1060,9 +1075,20 @@ _PHASES = {}
 def _phase_subprocess(name, timeout=2700, tries=2):
     """Run a measure phase isolated in a fresh process; retry once when
     the axon worker crashed (a transient service kill, not a code
-    failure).  Falls back to in-process when already isolated."""
+    failure).  Falls back to in-process when already isolated.
+
+    Budget-aware: the per-attempt timeout is capped at what remains of
+    GPYRN_BENCH_TIMEOUT (minus a reserve for emitting the final line),
+    and a phase is skipped outright when under 300 s remain — partial
+    fields beat a watchdog line."""
     if os.environ.get("GPYRN_BENCH_INPROC", "0") == "1":
         return _PHASES[name]()
+    if _DEADLINE is not None:
+        remaining = _DEADLINE - time.perf_counter() - 120.0
+        if remaining < 300.0:
+            return {f"{name}_phase_skipped":
+                    f"{remaining:.0f}s of bench budget left"}
+        timeout = min(timeout, remaining)
     import subprocess
     out = {f"{name}_phase_error": "did not run"}
     for attempt in range(tries):
@@ -1093,37 +1119,34 @@ def _phase_subprocess(name, timeout=2700, tries=2):
 
 def _main():
     ours_ms, elbo, ok, ips = measure_ours()
+    _PARTIAL.update({
+        "metric": f"elbo_grad_30sweeps_walltime_N{N}_p3_QP_GPRN",
+        "value": round(ours_ms, 3), "unit": "ms", "vs_baseline": None,
+        "elbo": elbo, "finite": ok,
+        "meanfield_iters_per_sec": round(ips, 1)})
     f64_ms, f64_elbo = measure_f64_parity()
     base_ms = measure_baseline()
-    ns = measure_north_star()
-    large = measure_large_n()
-    large.update(measure_cg_fit())
-    large.update(_phase_subprocess("mcmc"))
-    large.update(_phase_subprocess("opt"))
-    large.update(_phase_subprocess("predict"))
     vs = (base_ms / ours_ms) if (base_ms and ok) else float("nan")
     base_ips = (N_SWEEPS / (base_ms / 1e3)) if base_ms else None
-    out = {
-        "metric": f"elbo_grad_30sweeps_walltime_N{N}_p3_QP_GPRN",
-        "value": round(ours_ms, 3),
-        "unit": "ms",
+    _PARTIAL.update({
         "vs_baseline": round(vs, 2) if np.isfinite(vs) else None,
-        "elbo": elbo,
-        "finite": ok,
         "baseline_ms": round(base_ms, 1) if base_ms else None,
-        "meanfield_iters_per_sec": round(ips, 1),
         "meanfield_iters_per_sec_vs_baseline":
             round(ips / base_ips, 1) if base_ips else None,
-    }
+    })
     if f64_ms is not None:
-        out["f64_fit_30sweep_ms"] = round(f64_ms, 1)
-        out["f64_elbo"] = f64_elbo
-        out["f64_vs_baseline"] = round(base_ms / f64_ms, 2) if base_ms \
-            else None
-    out.update(ns)
-    out.update(large)
-    out.update(_PLATFORM_NOTE)
-    print(json.dumps(out))
+        _PARTIAL["f64_fit_30sweep_ms"] = round(f64_ms, 1)
+        _PARTIAL["f64_elbo"] = f64_elbo
+        _PARTIAL["f64_vs_baseline"] = \
+            round(base_ms / f64_ms, 2) if base_ms else None
+    _PARTIAL.update(measure_north_star())
+    _PARTIAL.update(measure_large_n())
+    _PARTIAL.update(measure_cg_fit())
+    _PARTIAL.update(_phase_subprocess("mcmc"))
+    _PARTIAL.update(_phase_subprocess("opt"))
+    _PARTIAL.update(_phase_subprocess("predict"))
+    _PARTIAL.update(_PLATFORM_NOTE)
+    print(json.dumps(_PARTIAL))
 
 
 _PHASES.update({"mcmc": measure_mcmc, "opt": measure_optimize,
