@@ -1087,10 +1087,12 @@ class inference:
         return plot_prediction(self, nn=nn, tstar=tstar, over=over,
                                title=title)
 
-    def plot_structure(self):
-        """Graphical-model sketch of the GPRN (unimplemented in the
-        reference too, meanfield.py:1405-1416)."""
-        raise NotImplementedError
+    def plot_structure(self, title=None):
+        """Graphical-model sketch of the GPRN (the reference declares
+        this but leaves it NotImplementedError, meanfield.py:1405-1416;
+        here it draws the node→weight→output network)."""
+        from gpyrn_tpu.utils.plots import plot_structure
+        return plot_structure(self, title=title)
 
     # ------------------------------------------------------------------
     # checkpoint / resume

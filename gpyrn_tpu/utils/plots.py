@@ -11,7 +11,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["plot_prediction", "plot_elbo_history", "equal_y_axis"]
+__all__ = ["plot_prediction", "plot_elbo_history", "plot_structure",
+           "equal_y_axis"]
 
 
 def equal_y_axis(ax):
@@ -134,6 +135,87 @@ def plot_prediction(gprn, nn: int = 1000, tstar=None, over: float = 0.2,
         ax.axvspan(time[0], time[-1], color='k', alpha=0.05, zorder=-1)
     fig.tight_layout()
     return fig, axs
+
+
+def plot_structure(gprn, ax=None, title=None):
+    """Graphical-model sketch of the GPRN: the q latent node GPs on the
+    left, the p observed output series on the right, and one weight-GP
+    edge per (node, output) pair, annotated with each component's kernel
+    type (and the output's mean function and jitter).
+
+    The reference declares this method but leaves it unimplemented
+    (reference meanfield.py:1405-1416 raises NotImplementedError); this
+    framework draws it.  Returns ``(fig, ax)``.
+    """
+    import matplotlib.pyplot as plt
+    gprn._require_components()
+    q, p = gprn.q, gprn.p
+
+    def _spread(k):
+        return np.linspace(0.85, 0.15, k) if k > 1 else np.array([0.5])
+
+    ys_f, ys_y = _spread(q), _spread(p)
+    if ax is None:
+        fig, ax = plt.subplots(
+            figsize=(7.0, 1.1 * max(q, p) + 1.6), constrained_layout=True)
+    else:
+        fig = ax.figure
+
+    # weight edges under the boxes; label each with its kernel type
+    # while the lattice is small enough to stay legible
+    for j in range(q):
+        for i in range(p):
+            ax.annotate("", xy=(0.72, ys_y[i]), xytext=(0.28, ys_f[j]),
+                        arrowprops=dict(arrowstyle="-|>", lw=1.1,
+                                        color="0.45",
+                                        shrinkA=12, shrinkB=12))
+            if q * p <= 12:
+                # short tag on the edge; kernel types go in the caption
+                # (staggered along the edge so crossings don't collide)
+                frac = 0.30 + 0.20 * ((j * p + i) % 3)
+                lx = 0.28 + frac * (0.72 - 0.28)
+                ly = ys_f[j] + frac * (ys_y[i] - ys_f[j]) \
+                    + 0.030 * (-1) ** (j * p + i)
+                ax.text(lx, ly, f"w$_{{{j + 1}{i + 1}}}$",
+                        ha="center", va="center", fontsize=8,
+                        color="0.30",
+                        bbox=dict(boxstyle="round,pad=0.15", fc="white",
+                                  ec="none", alpha=0.85))
+
+    node_box = dict(boxstyle="circle,pad=0.35", fc="#dbe9f6", ec="#3b6ea5")
+    out_box = dict(boxstyle="round,pad=0.35", fc="#e8e8e8", ec="0.35")
+    for j, node in enumerate(gprn.nodes):
+        ax.text(0.18, ys_f[j], f"f$_{{{j + 1}}}$\n"
+                               f"{type(node).__name__}",
+                ha="center", va="center", fontsize=9, bbox=node_box)
+    for i in range(p):
+        mean = gprn.means[i]
+        mean_name = "0" if mean is None else type(mean).__name__
+        jit = float(gprn.jitters[i]) if i < gprn.jitters.size else 0.0
+        ax.text(0.82, ys_y[i], f"y$_{{{i + 1}}}$\n"
+                               f"mean: {mean_name}\n"
+                               f"jitter: {jit:.3g}",
+                ha="center", va="center", fontsize=9, bbox=out_box)
+
+    ax.text(0.18, 0.97, f"latent nodes (q={q})", ha="center", va="top",
+            fontsize=9, color="0.25")
+    ax.text(0.82, 0.97, f"outputs (p={p})", ha="center", va="top",
+            fontsize=9, color="0.25")
+    wnames = [type(w).__name__ for w in gprn.weights]
+    if len(set(wnames)) == 1:
+        caption = f"weight GPs: {wnames[0]} (all {q}×{p})"
+    else:
+        caption = "weight GPs: " + ", ".join(
+            f"w$_{{{j + 1}{i + 1}}}$={wnames[j * p + i]}"
+            for j in range(q) for i in range(p))
+    ax.text(0.5, 0.015, caption, ha="center", va="bottom", fontsize=8,
+            color="0.30", wrap=True)
+    if title:
+        ax.set_title(title)
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.set_axis_off()
+    return fig, ax
 
 
 def plot_elbo_history(elbos, ax=None):

@@ -55,3 +55,28 @@ def test_plot_elbo_history():
     assert ax is not None
     import matplotlib.pyplot as plt
     plt.close(ax.figure)
+
+
+@pytest.mark.parametrize("q,p", [(1, 1), (2, 3)])
+def test_plot_structure(q, p, tiny_dataset):
+    t, y, yerr = tiny_dataset
+    gprn = g.inference(q, t, *([y, yerr] * p))
+    gprn.set_components(
+        [g.covfunc.Periodic(1.0, 10.0, 0.5)] * q,
+        [g.covfunc.SquaredExponential(1.0, 5.0)] * (q * p),
+        [g.meanfunc.Constant(0.0)] * p, [0.1] * p)
+    fig, ax = gprn.plot_structure(title="structure")
+    # every node, output, and (small-lattice) weight label is drawn
+    texts = " ".join(txt.get_text() for txt in ax.texts)
+    assert f"f$_{{{q}}}$" in texts and f"y$_{{{p}}}$" in texts
+    assert "SquaredExponential" in texts     # weight-kernel caption
+    assert "w$_{11}$" in texts               # q*p <= 12: edges tagged
+    import matplotlib.pyplot as plt
+    plt.close(fig)
+
+
+def test_plot_structure_requires_components(tiny_dataset):
+    t, y, yerr = tiny_dataset
+    gprn = g.inference(1, t, y, yerr)
+    with pytest.raises(AssertionError):
+        gprn.plot_structure()
