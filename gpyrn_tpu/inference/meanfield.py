@@ -79,6 +79,29 @@ class inference:
         # fit under the REFERENCE rule (rel-std of the last 3 ELBO
         # values < 1e-3, meanfield.py:640-646) so iteration semantics
         # match reference scripts, then polishes as usual
+        self.fit_accelerate = False  # Anderson-accelerate the f32 bulk
+        # fit (the mixed path's dense/lean 'state'-stop branch only):
+        # host-driven fixed-point mixing (ops/fixedpoint.py) over blocks
+        # of ``accel_sweeps`` f32 sweeps, with the f32 ELBO of each
+        # block's own final sweep as the safeguard merit.  Two measured
+        # effects (N=300–1000 QP configs): ~2–3× fewer sweeps to a given
+        # ELBO level mid-ascent, and — more importantly — a stop that
+        # actually fires: the f32 sweep map has a ROUNDING FLOOR (the
+        # state keeps wobbling ~1e-3 per sweep forever), so the plain
+        # path's state tolerance (``mixed_tol``) often never triggers
+        # and burns the whole ``max_iter`` budget; the accelerated path
+        # stops when the f32 ELBO stops improving and returns the
+        # best-ELBO state.  Every device call is one small bounded
+        # block.  Ignored by fit_method='cg'/'svi' and
+        # mixed_stop='elbo', whose iteration contracts are fixed by
+        # those modes.
+        self.accel_sweeps = 5       # f32 sweeps per Anderson evaluation
+        self.accel_tol = 2e-4       # merit stall threshold: a block
+        # must improve the best f32 ELBO by > accel_tol·|ELBO| to count
+        # as progress (f32 ELBO evaluation noise is ~1e-3 relative on
+        # ill-conditioned configs; systematic ascent sits well above)
+        self.accel_patience = 5     # consecutive non-improving blocks
+        # before the fit is declared at the f32 floor and stopped
         self.refine_method = 'auto'  # 'auto'|'df64'|'f64': how the
         # mixed-precision polish runs.  'df64' = blocked double-single
         # sweeps + exact ELBO terms ON the accelerator (f32 hardware
@@ -462,6 +485,58 @@ class inference:
         return float(e1), np.asarray(mu1), np.asarray(var1), \
             info["evals"] + 1
 
+    def _accelerated_fit32(self, f32_args, lean, max_iter):
+        """Anderson-accelerated float32 bulk fit (``fit_accelerate``):
+        the mixed path's coordinate ascent run as a host fixed-point
+        solve.  F = one block of ``accel_sweeps`` f32 sweeps through the
+        engine's refine map (whose final sweep also evaluates the f32
+        ELBO — the safeguard merit for :func:`anderson_fixed_point`);
+        the solver mixes block outputs on the host, so each device call
+        stays small and bounded (the axon service kills long single
+        calls).  The update map is identical to ``fit_state``'s — only
+        the visit order of iterates differs — and the stop is the
+        merit-stall rule: the fit ends when ``accel_patience``
+        consecutive blocks fail to improve the best f32 ELBO by more
+        than ``accel_tol`` relative (the f32 rounding floor — see the
+        ``fit_accelerate`` attribute comment), returning the best-ELBO
+        state.  Returns ``(mu32, var32, n_sweeps, converged)`` where
+        ``converged`` means the floor was reached before ``max_iter``
+        sweeps."""
+        from gpyrn_tpu.ops.fixedpoint import anderson_fixed_point
+        eng = self.engine
+        refine = eng.elbo_refine_lean if lean else eng.elbo_refine
+        theta32, t32, y32, ye32, mu0, var0 = f32_args
+        d = int(np.asarray(mu0).size)
+        k = max(1, int(self.accel_sweeps))
+        var_floor = 1e-12 * float(np.max(np.asarray(var0)))
+
+        def clamp(x):
+            out = x.copy()
+            out[d:] = np.maximum(out[d:], var_floor)
+            return out
+
+        def F(x):
+            e, m2, v2 = refine(theta32, t32, y32, ye32,
+                               jnp.asarray(x[:d], dtype=jnp.float32),
+                               jnp.asarray(x[d:], dtype=jnp.float32), k)
+            return np.concatenate([
+                np.asarray(m2, dtype=np.float64),
+                np.asarray(v2, dtype=np.float64)]), float(e)
+
+        x0 = np.concatenate([np.asarray(mu0, dtype=np.float64),
+                             np.asarray(var0, dtype=np.float64)])
+        max_evals = max(4, int(max_iter) // k)
+        # rel_tol=0 disables the calm rule: in f32 the per-block merit
+        # change never settles below a tolerance (it wobbles at the
+        # rounding floor), so the stall rule is the one stop that fires
+        x, _, info = anderson_fixed_point(
+            F, x0, rel_tol=0.0, max_evals=max_evals, clamp=clamp,
+            stall_patience=int(self.accel_patience),
+            stall_tol=float(self.accel_tol))
+        return (jnp.asarray(x[:d], dtype=jnp.float32),
+                jnp.asarray(x[d:], dtype=jnp.float32),
+                info["evals"] * k, bool(info["stalled"]))
+
     def _resolve_mu_var(self, mu, var, theta):
         eng = self.engine
         if mu is None or var is None:
@@ -570,6 +645,9 @@ class inference:
                     *f32_args, int(n_iter), int(self.svi_seed),
                     float(self.svi_t0), float(self.svi_kappa))
                 converged = True
+            elif self.fit_accelerate:
+                mu32, var32, n_iter, converged = self._accelerated_fit32(
+                    f32_args, lean, max_iter)
             else:
                 fit = self.engine.fit_state_lean if lean \
                     else self.engine.fit_state

@@ -40,7 +40,9 @@ def anderson_fixed_point(F: Callable[[np.ndarray],
                          rel_tol: float = 1e-8,
                          clamp: Optional[Callable[[np.ndarray],
                                                   np.ndarray]] = None,
-                         verbose: bool = False):
+                         verbose: bool = False,
+                         stall_patience: Optional[int] = None,
+                         stall_tol: float = 0.0):
     """Accelerate the fixed-point iteration ``x ← F(x)``.
 
     Args:
@@ -62,13 +64,25 @@ def anderson_fixed_point(F: Callable[[np.ndarray],
         clamp: optional projection applied to every extrapolated
             candidate (e.g. flooring variances at a positive value —
             extrapolation is not constrained to the feasible set).
+        stall_patience: when set, ALSO stop once ``stall_patience``
+            consecutive evaluations fail to improve the best merit
+            seen by more than ``stall_tol·max(1, |best|)``, and return
+            the best-merit state instead of the last one.  This is the
+            stop for maps whose arithmetic has a merit noise floor
+            (the float32 GPRN sweep: state and ELBO wobble at the
+            rounding floor forever, so neither a state tolerance nor
+            ``rel_tol`` can ever fire) — the iteration ends where
+            systematic ascent ends.
+        stall_tol: relative merit-improvement threshold for the stall
+            rule (see ``stall_patience``).
 
     Returns:
         ``(x, merit, info)`` — ``x`` is the final post-sweep state
         F(candidate) (always the output of a genuine map application,
-        never a raw extrapolation), ``merit`` its merit, and ``info``
-        a dict with ``evals``, ``rejects``, ``rel`` (last relative
-        merit change), and ``res`` (last residual ∞-norm, scaled).
+        never a raw extrapolation; the best-merit one when the stall
+        rule fired), ``merit`` its merit, and ``info`` a dict with
+        ``evals``, ``rejects``, ``rel`` (last relative merit change),
+        ``res`` (last residual ∞-norm, scaled), and ``stalled``.
     """
     x = np.asarray(x0, dtype=np.float64)
     Fx, e = F(x)
@@ -77,6 +91,19 @@ def anderson_fixed_point(F: Callable[[np.ndarray],
     dx_hist, dg_hist = [], []
     rel = np.inf
     calm = 0
+    stall = 0
+    stalled = False
+    best_x, best_e = Fx, e
+
+    def _note(Fc_, ec_):
+        """Track the best-merit post-sweep state for the stall rule."""
+        nonlocal best_x, best_e, stall
+        if ec_ > best_e + stall_tol * max(1.0, abs(best_e)):
+            best_x, best_e = Fc_, ec_
+            stall = 0
+        else:
+            stall += 1
+
     while evals < max_evals:
         extrapolated = bool(dx_hist)
         if extrapolated:
@@ -99,6 +126,7 @@ def anderson_fixed_point(F: Callable[[np.ndarray],
             cand = Fx if clamp is None else clamp(Fx)
         Fc, ec = F(cand)
         evals += 1
+        _note(Fc, ec)
         if extrapolated and ec < e - 1e-12 * abs(e):
             # extrapolation regressed the merit: drop the history and
             # fall back to the plain iteration (monotone by
@@ -112,6 +140,7 @@ def anderson_fixed_point(F: Callable[[np.ndarray],
             cand = Fx if clamp is None else clamp(Fx)
             Fc, ec = F(cand)
             evals += 1
+            _note(Fc, ec)
         g_new = Fc - cand
         dx_hist.append(cand - x)
         dg_hist.append(g_new - g)
@@ -127,6 +156,13 @@ def anderson_fixed_point(F: Callable[[np.ndarray],
         calm = calm + 1 if rel < rel_tol else 0
         if calm >= 2:
             break
+        if stall_patience is not None and stall >= stall_patience:
+            stalled = True
+            break
     res = float(np.max(np.abs(g)) / (1.0 + np.max(np.abs(Fx))))
+    if stall_patience is not None:
+        # merit is the quantity the caller wants maximized — return the
+        # best post-sweep state seen, not wherever the noise walk ended
+        Fx, e = best_x, best_e
     return Fx, e, {"evals": evals, "rejects": rejects,
-                   "rel": float(rel), "res": res}
+                   "rel": float(rel), "res": res, "stalled": stalled}
