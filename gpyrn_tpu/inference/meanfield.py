@@ -85,16 +85,23 @@ class inference:
         # of ``accel_sweeps`` f32 sweeps, with the f32 ELBO of each
         # block's own final sweep as the safeguard merit.  Two measured
         # effects (N=300–1000 QP configs): ~2–3× fewer sweeps to a given
-        # ELBO level mid-ascent, and — more importantly — a stop that
-        # actually fires: the f32 sweep map has a ROUNDING FLOOR (the
-        # state keeps wobbling ~1e-3 per sweep forever), so the plain
-        # path's state tolerance (``mixed_tol``) often never triggers
-        # and burns the whole ``max_iter`` budget; the accelerated path
-        # stops when the f32 ELBO stops improving and returns the
-        # best-ELBO state.  Every device call is one small bounded
-        # block.  Ignored by fit_method='cg'/'svi' and
-        # mixed_stop='elbo', whose iteration contracts are fixed by
-        # those modes.
+        # ELBO level mid-ascent, and a stop that actually fires: the f32
+        # sweep map has a ROUNDING FLOOR (the state keeps wobbling
+        # ~1e-3 per sweep forever), so the plain path's state tolerance
+        # (``mixed_tol``) often never triggers and burns the whole
+        # ``max_iter`` budget; the accelerated path stops when the f32
+        # ELBO stops improving by more than ``accel_tol`` relative and
+        # returns the best-ELBO state.  CAVEAT — ``accel_tol`` trades
+        # depth for time: near-unit spectral radii hide large geometric
+        # tails behind small per-block gains (measured at N=5000: a
+        # ρ≈0.999 mode still carried ~4% of |ELBO|; stopping on the
+        # default threshold forfeited it and the subsequent polish
+        # converged to a different, lower fixed point).  Lower
+        # ``accel_tol`` at large N, or keep the plain path when you
+        # want the deepest f32 state per sweep budget.  Every device
+        # call is one small bounded block.  Ignored by
+        # fit_method='cg'/'svi' and mixed_stop='elbo', whose iteration
+        # contracts are fixed by those modes.
         self.accel_sweeps = 5       # f32 sweeps per Anderson evaluation
         self.accel_tol = 2e-4       # merit stall threshold: a block
         # must improve the best f32 ELBO by > accel_tol·|ELBO| to count
