@@ -16,6 +16,7 @@ amplitude/length-scale degeneracies).
 """
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass, field
 from typing import Dict, Sequence
 
@@ -345,6 +346,31 @@ def run_hmc(gprn, priors: Dict, n_samples: int = 500, n_warmup: int = 100,
         p0 = np.atleast_2d(np.asarray(p0, dtype=float))
         th0 = np.repeat(p0, n_chains, axis=0)[:n_chains] * \
             np.exp(0.01 * rng.standard_normal((n_chains, ndim)))
+    # z = log θ needs θ > 0.  The sampler's support is positive by
+    # construction (θ = exp z), but an optimizer can park a
+    # sign-symmetric parameter (a jitter or amplitude, which enter the
+    # model squared) at a negative value, and a sign-symmetric prior
+    # (Normal) can draw one — fold those into the support: |θ| is the
+    # same model state for such parameters, whereas log(θ ≤ 0) = NaN
+    # starts the chain invalid and the invalid-state acceptance guard
+    # then pins it there for the whole run.  For a parameter that
+    # enters the model LINEARLY (a constant mean offset) the fold DOES
+    # change the model — log-space sampling cannot represent it
+    # negative at all — so name the folded parameters in a warning
+    # rather than flipping signs silently.
+    neg = th0 < 0
+    if np.any(neg):
+        folded = sorted({free_names[j]
+                         for j in np.unique(np.nonzero(neg)[1])})
+        warnings.warn(
+            "run_hmc samples in log-space (theta > 0): folding "
+            f"nonpositive initial values of {folded} into the support "
+            "via |theta|.  Exact for parameters entering the model "
+            "squared (jitters, amplitudes); sign-flipping for linear "
+            "ones (e.g. constant means) — freeze or reparameterize "
+            "those.", RuntimeWarning, stacklevel=2)
+    th0 = np.abs(th0)
+    th0 = np.where(th0 > 1e-8, th0, 1e-8)
     z = jnp.asarray(np.log(th0))
     lp = batched_logpost(z)
 

@@ -190,3 +190,38 @@ def test_dense_mass_matrix_smoke(tiny_dataset):
                     seed=2)
     assert np.all(np.isfinite(res_n.log_prob))
     assert np.all(res_n.chain > 0)
+
+
+@pytest.mark.slow
+def test_nonpositive_p0_folded_into_support(tiny_dataset):
+    """log-space init with a nonpositive p0 entry must not NaN.
+
+    An optimizer can park a sign-symmetric parameter (a jitter enters
+    the model squared) at a negative value; before the fold, log(th0)
+    made that chain's state NaN and the invalid-state acceptance guard
+    pinned it there for the whole run.  |theta| is the identical model
+    state, so folding is exact, and exact zeros get a positive floor."""
+    t, y, yerr = tiny_dataset
+    gprn = g.inference(1, t, y, yerr)
+    gprn.set_components([g.covfunc.Periodic(1.0, 10.0, 0.5)],
+                        [g.covfunc.SquaredExponential(1.0, 5.0)],
+                        [None], [0.1])
+    gprn.ELBOcalc()
+    priors = {
+        'node1.theta': pr.LogNormal(0.0, 0.5),
+        'node1.P': pr.Normal(10.0, 1.0),
+        'node1.ell': pr.LogNormal(np.log(0.5), 0.5),
+        'weight1.theta': pr.LogNormal(0.0, 0.5),
+        'weight1.ell': pr.LogNormal(np.log(5.0), 0.5),
+        'jitter1': pr.LogNormal(np.log(0.1), 0.5),
+    }
+    p0 = np.asarray(gprn.get_parameters(), dtype=float)
+    p0[-1] = -abs(p0[-1])    # negative jitter: same model, bad for log
+    p0[2] = 0.0              # exact zero: needs the floor
+    with np.errstate(invalid="raise"):     # np.log(<=0) would raise
+        with pytest.warns(RuntimeWarning, match="jitter1"):
+            res = run_hmc(gprn, priors, n_samples=4, n_warmup=4,
+                          n_chains=2, n_leapfrog=3, n_sweeps=6, p0=p0,
+                          seed=0)
+    assert np.all(res.chain > 0)
+    assert np.all(np.isfinite(res.log_prob))
