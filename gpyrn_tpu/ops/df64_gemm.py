@@ -57,6 +57,17 @@ N_SLICES = 9
 # 2^-(MAX_SIG+1)·M_BITS ≈ 2⁻⁶⁰ per element (× K ≤ 2⁻⁴⁹ per dot).
 MAX_SIG = 9
 K_CHUNK = 2048
+# Same-significance GROUPING capacity: all pairs (i, j) with i + j = g
+# share the grid 2^-(g+2)·M_BITS, so their products can be summed in ONE
+# f32 GEMM by concatenating the slices along K — the combined dot stays
+# an exact integer multiple of the shared grid while
+# c·K · 2^(2·M_BITS) ≤ 2²⁴, i.e. c·K ≤ 2¹² = 4096 (slices are ≤ 2^M_BITS
+# grid units, products ≤ 2^(2M), and f32 holds integers to 2²⁴
+# inclusive).  This collapses the 53 slice-pair products of a K=256
+# GEMM (the blocked Cholesky's panel/trailing updates) into 12 grouped
+# GEMMs with 12 df64 accumulator round trips — identical bits, ~4×
+# less HBM accumulator traffic.
+GROUP_UNITS = 4096
 
 
 def _pow2_scale(mag):
@@ -89,67 +100,64 @@ def _slices(a: DF, n_slices: int = N_SLICES, m: int = M_BITS):
     return out
 
 
-def _pair_products(sa, sb, max_sig):
-    """All slice-pair matmuls with combined significance ≤ max_sig,
-    ordered most-significant first.  sa: list over i of (..., M, K)
-    bf16; sb: list over j of (..., K, N) bf16.  Returns f32 arrays."""
-    prods = []
-    n = len(sa)
+def _group_lists(n, max_sig, K):
+    """Slice pairs (i, j) bucketed by significance g = i + j, each
+    bucket split so ``len(bucket)·K ≤ GROUP_UNITS`` (the exact-f32
+    grouped-accumulation capacity).  Most-significant groups first."""
+    cap = max(1, GROUP_UNITS // max(1, K))
+    groups = []
     for g in range(min(max_sig, 2 * (n - 1)) + 1):
-        for i in range(max(0, g - (n - 1)), min(n - 1, g) + 1):
-            j = g - i
-            prods.append(jnp.matmul(sa[i], sb[j],
-                                    preferred_element_type=jnp.float32))
-    return prods
+        pairs = [(i, g - i)
+                 for i in range(max(0, g - (n - 1)), min(n - 1, g) + 1)]
+        for s in range(0, len(pairs), cap):
+            groups.append(pairs[s:s + cap])
+    return groups
 
 
-def _accumulate(prods, shape, dtype=jnp.float32):
-    """df64-accumulate a significance-ordered list of f32 products."""
-    acc = DF(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
-    for p in prods:
-        acc = df_add(acc, DF(p, jnp.zeros_like(p)))
+def _group_matmul(sa, sb, pairs):
+    """One exact f32 GEMM for a same-significance group of slice pairs:
+    concatenate the A-slices along K and the B-slices along K."""
+    if len(pairs) == 1:
+        i, j = pairs[0]
+        a, b = sa[i], sb[j]
+    else:
+        a = jnp.concatenate([sa[i] for i, _ in pairs], axis=-1)
+        b = jnp.concatenate([sb[j] for _, j in pairs], axis=-2)
+    return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+
+
+def _grouped_accumulate(sa, sb, K, max_sig, acc0=None, serialize=False):
+    """df64-accumulate the grouped slice-pair GEMMs.  With
+    ``serialize`` each GEMM is data-chained behind the previous
+    accumulator through an optimization barrier so XLA cannot keep
+    several full-size f32 products live at once (the unrolled form
+    otherwise RESOURCE_EXHAUSTs large outputs — see
+    SCAN_ACCUM_MIN_ELEMS)."""
+    groups = _group_lists(len(sa), max_sig, K)
+    acc = acc0
+    for pairs in groups:
+        if serialize and acc is not None:
+            # make this group's (cheap, bf16) inputs depend on the
+            # accumulator: one product live at a time
+            sa = list(sa)
+            i0 = pairs[0][0]
+            sa[i0], _ = lax.optimization_barrier((sa[i0], acc.hi))
+        p = _group_matmul(sa, sb, pairs)
+        if acc is None:
+            acc = DF(p, jnp.zeros_like(p))
+        else:
+            acc = df_add(acc, DF(p, jnp.zeros_like(p)))
     return acc
 
 
-# Outputs at or above this element count accumulate their slice-pair
-# products through a lax.scan instead of an unrolled matmul list: the
-# unrolled form lets the scheduler keep many full-size f32 products
-# live at once (53 × (b,N,N) — RESOURCE_EXHAUSTED on a 16 GB chip at
-# N=5000, b=3), while the scan bounds liveness to the df64 accumulator
-# plus ONE product.  Small outputs keep the unrolled form (better MXU
+# Outputs at or above this element count serialize their grouped
+# GEMMs behind the accumulator (optimization barriers): the free-form
+# unrolled schedule lets XLA keep many full-size f32 products live at
+# once (RESOURCE_EXHAUSTED on a 16 GB chip at N=5000, b=3), while the
+# chained form bounds liveness to the df64 accumulator plus ONE
+# product.  Small outputs keep the free schedule (better MXU
 # pipelining; their liveness is irrelevant).
 SCAN_ACCUM_MIN_ELEMS = 1 << 25
-
-
-def _pair_index_list(n, max_sig):
-    pairs = []
-    for g in range(min(max_sig, 2 * (n - 1)) + 1):
-        for i in range(max(0, g - (n - 1)), min(n - 1, g) + 1):
-            pairs.append((i, g - i))
-    return pairs
-
-
-def _matmul_scan(sa, sb, max_sig, acc0=None):
-    """Scan-accumulated slice-pair matmuls (most-significant first)."""
-    SA = jnp.stack(sa)                       # (n_slices, ..., M, K) bf16
-    SB = jnp.stack(sb)
-    pairs = jnp.asarray(_pair_index_list(len(sa), max_sig),
-                        dtype=jnp.int32)
-
-    def body(acc, ij):
-        a = lax.dynamic_index_in_dim(SA, ij[0], keepdims=False)
-        b = lax.dynamic_index_in_dim(SB, ij[1], keepdims=False)
-        p = jnp.matmul(a, b, preferred_element_type=jnp.float32)
-        return df_add(acc, DF(p, jnp.zeros_like(p))), None
-
-    if acc0 is None:
-        probe = jnp.matmul(sa[0][..., :1, :], sb[0][..., :, :1],
-                           preferred_element_type=jnp.float32)
-        shape = probe.shape[:-2] + (sa[0].shape[-2], sb[0].shape[-1])
-        acc0 = DF(jnp.zeros(shape, jnp.float32),
-                  jnp.zeros(shape, jnp.float32))
-    acc, _ = lax.scan(body, acc0, pairs)
-    return acc
 
 
 def df64_matmul(A: DF, B: DF, max_sig: int = MAX_SIG) -> DF:
@@ -177,12 +185,7 @@ def df64_matmul(A: DF, B: DF, max_sig: int = MAX_SIG) -> DF:
     if K <= K_CHUNK:
         sa = _slices(As)
         sb = _slices(Bs)
-        if big_out:
-            acc = _matmul_scan(sa, sb, max_sig)
-        else:
-            prods = _pair_products(sa, sb, max_sig)
-            out_shape = prods[0].shape
-            acc = _accumulate(prods, out_shape)
+        acc = _grouped_accumulate(sa, sb, K, max_sig, serialize=big_out)
     else:
         # pad K to a chunk multiple (zero columns/rows contribute 0
         # exactly) and scan over chunks, df64-accumulating partials
@@ -210,12 +213,8 @@ def df64_matmul(A: DF, B: DF, max_sig: int = MAX_SIG) -> DF:
             ah, al, bh, bl = xs
             sa = _slices(DF(ah, al))
             sb = _slices(DF(bh, bl))
-            if big_out:
-                return _matmul_scan(sa, sb, max_sig, acc0=acc), None
-            prods = _pair_products(sa, sb, max_sig)
-            for p in prods:
-                acc = df_add(acc, DF(p, jnp.zeros_like(p)))
-            return acc, None
+            return _grouped_accumulate(sa, sb, K_CHUNK, max_sig,
+                                       acc0=acc, serialize=big_out), None
 
         probe = jnp.matmul(Ah[0, ..., :1], Bh[0, ..., :1, :],
                            preferred_element_type=jnp.float32)
