@@ -23,6 +23,7 @@ from gpyrn_tpu.inference import nonparametric  # noqa: E402
 from gpyrn_tpu.inference import priors         # noqa: E402
 from gpyrn_tpu.inference.meanfield import inference  # noqa: E402
 from gpyrn_tpu import datasets                 # noqa: E402
+from gpyrn_tpu import serving                  # noqa: E402
 
 # convenience re-exports, matching the reference __init__
 from gpyrn_tpu.ops.means import Constant, Linear              # noqa: E402
@@ -32,6 +33,6 @@ from gpyrn_tpu.models.gp import GP                            # noqa: E402
 
 __all__ = [
     "inference", "covfunc", "meanfunc", "meanfield", "evidence",
-    "nonparametric", "priors", "datasets", "GP",
+    "nonparametric", "priors", "datasets", "serving", "GP",
     "Constant", "Linear", "SquaredExponential", "QuasiPeriodic",
 ]

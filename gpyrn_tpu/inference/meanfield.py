@@ -1135,6 +1135,18 @@ class inference:
         ss = np.sqrt(vv)
         return tstar, aa, ss, bb
 
+    def export_predict(self, filename=None, **kw):
+        """Ahead-of-time export of the fitted posterior predictive for
+        serving (see ``gpyrn_tpu.serving``): returns the
+        ``jax.export.Exported``, or — when ``filename`` is given —
+        writes the serialized artifact there and returns its byte
+        count.  Keywords (``platforms``, ``n_star``, ``dtype``) pass
+        through to ``serving.export_predict``."""
+        from gpyrn_tpu import serving
+        if filename is not None:
+            return serving.save_predict(self, filename, **kw)
+        return serving.export_predict(self, **kw)
+
     def _sample_from_gp(self, kernel, time=None, rng=None):
         """A random function drawn from a kernel's GP prior."""
         from gpyrn_tpu.ops.linalg import PREDICT_NUGGET
