@@ -26,7 +26,8 @@ def test_example_1_runs(tmp_path, monkeypatch, capsys):
 @pytest.mark.slow
 @pytest.mark.parametrize("name", ["example_2.py", "example_3.py",
                                   "example_4.py", "example_5.py",
-                                  "example_6.py", "example_7.py"])
+                                  "example_6.py", "example_7.py",
+                                  "example_8.py"])
 def test_remaining_examples_run(tmp_path, monkeypatch, name):
     """Every shipped example must execute against the current API
     (the reference's own examples had gone stale — SURVEY.md §2.8)."""

@@ -84,6 +84,21 @@ def test_f32_export_dtype(tiny_dataset):
     np.testing.assert_allclose(mean_s, mean_r, rtol=5e-4, atol=5e-4)
 
 
+def test_cross_platform_export(tiny_dataset):
+    """Lowering for a platform that is not the running one (export on a
+    CPU dev box, serve on TPU) — the artifact must carry both and stay
+    callable here on CPU."""
+    gprn = _fitted_model(tiny_dataset)
+    art = serving.export_predict(gprn, platforms=("cpu", "tpu"),
+                                 dtype=np.float32)
+    serve = serving.load_predict(art.serialize())
+    assert set(serve.platforms) == {"cpu", "tpu"}
+    tstar = np.linspace(0.0, 30.0, 9)
+    mean_s = serve(tstar)[0]
+    mean_r, _ = gprn._Prediction(tstar=tstar)
+    np.testing.assert_allclose(mean_s, mean_r, rtol=5e-4, atol=5e-4)
+
+
 @pytest.mark.slow
 def test_serving_process_without_package(tiny_dataset, tmp_path):
     """The artifact is servable by a fresh process with ONLY jax — the
