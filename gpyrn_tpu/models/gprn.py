@@ -46,8 +46,8 @@ from jax.scipy.linalg import cho_solve
 from gpyrn_tpu.ops import blocked as _blocked
 from gpyrn_tpu.ops import means as means_mod
 from gpyrn_tpu.ops.linalg import (PREDICT_NUGGET, TRAIN_NUGGET,
-                                  cross_kernel_matrix, kernel_matrix,
-                                  kernel_matrix_plain)
+                                  cross_kernel_matrix, kernel_diag,
+                                  kernel_matrix, kernel_matrix_plain)
 
 __all__ = [
     "GPRNSpec", "spec_from_components", "pack_parameters",
@@ -1144,9 +1144,11 @@ def make_engine(spec: GPRNSpec,
                            for s, cp in zip(structs, all_params)])
         Ks_all = jnp.stack([cross_kernel_matrix(s, cp, tstar, t)
                             for s, cp in zip(structs, all_params)])
-        Kss_diag = jnp.stack([jnp.diagonal(
-            kernel_matrix(s, cp, tstar, PREDICT_NUGGET))
-            for s, cp in zip(structs, all_params)])             # (B, n*)
+        # diag(K(t*, t*)) directly — same values (and jitter) as
+        # diagonal(kernel_matrix) but O(n*) memory, so prediction and
+        # serving never allocate an n*×n* buffer per lattice entry
+        Kss_diag = jnp.stack([kernel_diag(s, cp, tstar, PREDICT_NUGGET)
+                              for s, cp in zip(structs, all_params)])
 
         L = jnp.linalg.cholesky(K_all + vmap(jnp.diag)(v_rows))
         sol = vmap(lambda l, b: cho_solve((l, True), b))(L, m_rows)

@@ -140,6 +140,27 @@ def psd_jitter(S):
                                                     dtype=S.dtype)
 
 
+def kernel_diag(structure, params, t, nugget=TRAIN_NUGGET):
+    """diag(K(t, t)) + the same jitter ``kernel_matrix`` would add —
+    WITHOUT materializing the N×N matrix (the registry is elementwise
+    in the lag / coordinates, and the jitter's trace term is just the
+    sum of this diagonal).  O(N) memory: what prediction variances and
+    serving at large request sizes need."""
+    t = jnp.asarray(t)
+    if _k.is_nonstationary(structure):
+        d = _k.evaluate(structure, params, r=jnp.zeros_like(t), t1=t, t2=t)
+        d = jnp.broadcast_to(d, t.shape)
+        if structure[0] in ("HP", "QHP", "POLY"):
+            return d            # reference quirk: no nugget (see above)
+    else:
+        d = jnp.broadcast_to(
+            _k.evaluate(structure, params, r=jnp.zeros_like(t)), t.shape)
+    eps = jnp.finfo(d.dtype).eps
+    jitter = jnp.maximum(jnp.asarray(nugget, dtype=d.dtype),
+                         F32_JITTER_MULT * eps * jnp.sum(d))
+    return d + jitter
+
+
 def cross_kernel_matrix(structure, params, t_star, t):
     """Cross-covariance K(t*, t) (no nugget; reference meanfield.py:455-471)."""
     t_star = jnp.atleast_1d(jnp.asarray(t_star))
