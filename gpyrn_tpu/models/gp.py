@@ -22,7 +22,7 @@ from jax.scipy.linalg import cho_solve
 
 from gpyrn_tpu.ops import kernels as covfunc
 from gpyrn_tpu.ops.linalg import (PREDICT_NUGGET, cross_kernel_matrix,
-                                  kernel_matrix)
+                                  kernel_diag, kernel_matrix)
 
 __all__ = ["GP"]
 
@@ -39,8 +39,9 @@ def _conditional_fn(structure):
         L = jnp.linalg.cholesky(K)
         sol = cho_solve((L, True), m)
         Ks = cross_kernel_matrix(structure, params, tstar, t)
-        Kss_diag = jnp.diagonal(
-            kernel_matrix(structure, params, tstar, PREDICT_NUGGET))
+        # O(n*) — same values/jitter as diagonal(kernel_matrix) without
+        # the n*×n* buffer (ops/linalg.kernel_diag)
+        Kss_diag = kernel_diag(structure, params, tstar, PREDICT_NUGGET)
         y_mean = Ks @ sol
         y_var = Kss_diag - jnp.einsum(
             "nk,kn->n", Ks, cho_solve((L, True), Ks.T))

@@ -79,11 +79,11 @@ def _gp_conditional_cg(structure, params, t, m_row, v_row, tstar,
     if not want_var:
         return mean, None
 
-    # diag K**(t*, t*)
+    # diag K**(t*, t*) — elementwise, no n*×n* buffer
     if is_nonstationary(structure):
-        kss = np.asarray(jnp.diagonal(_keval(
-            structure, params, t1=jnp.asarray(tstar)[:, None],
-            t2=jnp.asarray(tstar)[None, :]))) + PREDICT_NUGGET
+        ts = jnp.asarray(tstar)
+        kss = np.asarray(_keval(structure, params, r=jnp.zeros_like(ts),
+                                t1=ts, t2=ts)) + PREDICT_NUGGET
     else:
         k0 = float(_keval(structure, params, r=jnp.zeros(())))
         kss = np.full(len(tstar), k0 + PREDICT_NUGGET)
@@ -148,10 +148,11 @@ class LovePredictor:
             if variances:
                 V = row["R"] @ Kstar.T                      # (rank, n*)
                 if is_nonstationary(row["structure"]):
-                    kss = np.asarray(jnp.diagonal(_keval(
+                    ts = jnp.asarray(tstar)
+                    kss = np.asarray(_keval(
                         row["structure"], row["params"],
-                        t1=jnp.asarray(tstar)[:, None],
-                        t2=jnp.asarray(tstar)[None, :]))) + PREDICT_NUGGET
+                        r=jnp.zeros_like(ts),
+                        t1=ts, t2=ts)) + PREDICT_NUGGET
                 else:
                     kss = np.full(len(tstar),
                                   row["k0"] + PREDICT_NUGGET)
