@@ -6,9 +6,19 @@ so the baseline is the cost of the *same amount of mean-field work*
 (30 coordinate-ascent sweeps) in the reference NumPy engine on this
 machine's CPU, measured once and cached in ``.bench_baseline.json``.
 
-Prints ONE JSON line:
+Prints JSON lines of the form
     {"metric": ..., "value": ..., "unit": "ms", "vs_baseline": ...}
+**incrementally**: one line immediately at startup, then a fresh line
+after every finished phase, each a strict superset of the previous one
+(the LAST line is always the most complete record).  A kill at ANY
+point therefore still leaves every already-measured field on stdout.
 ``vs_baseline`` > 1 means we are that many times faster.
+
+Every phase runs in its own subprocess with its own timeout (the axon
+tunnel can hang a device call indefinitely, and an axon worker crash
+kills the whole process's backend), ordered headline → north-star →
+the rest, under a total budget of GPYRN_BENCH_TIMEOUT (default 2400 s)
+enforced by both per-phase trimming and a hard watchdog.
 """
 import json
 import os
@@ -304,17 +314,35 @@ def measure_north_star():
             ref_30sweep_s = ref["wall"] / max(ref["iters"], 1) * 30
             out["ns5000_ref_30sweep_s"] = round(ref_30sweep_s, 1)
             out["ns5000_vs_baseline"] = round(ref_30sweep_s / total, 1)
+    except Exception as e:      # noqa: BLE001 — bench must always emit
+        out["ns_error"] = f"{type(e).__name__}: {e}"
+    return out
 
-        # -- fidelity at the north-star N itself (round-2 verdict item
-        #    1): drive the df64 refine to TRUE stationarity with the
-        #    Anderson-accelerated fixed-point solver (plain sweeps
-        #    converge at ρ ≈ 0.966 here — ~300 sweeps; Anderson does it
-        #    in ~35), then compare 3 further df64 sweeps against an f64
-        #    CPU oracle running the SAME 3 sweeps from the SAME
-        #    converged state: equal sweep counts from equal states make
-        #    this an operator-fidelity measurement at N=5000, not a
-        #    comparison of two different mid-ascent points --
-        from gpyrn_tpu.models.exact_blocked import refine_converged
+
+def measure_ns_parity():
+    """Fidelity at the north-star N itself (round-2 verdict item 1,
+    round-3 item 2): drive the df64 refine to TRUE stationarity with
+    the Anderson-accelerated fixed-point solver (plain sweeps converge
+    at ρ ≈ 0.966 here — ~300 sweeps; Anderson does it in ~35), then
+    compare 3 further df64 sweeps against an f64 CPU oracle running the
+    SAME 3 sweeps from the SAME converged state: equal sweep counts
+    from equal states make this an operator-fidelity measurement at
+    N=5000, not a comparison of two different mid-ascent points.
+
+    Its own phase (not part of ``ns``) so a slow CPU oracle can never
+    erase the wall-clock fields; the oracle result is content-hash
+    cached in .bench/ so reruns from the same (deterministic, seeded)
+    state skip the CPU work entirely."""
+    if os.environ.get("GPYRN_BENCH_NS", "1") == "0":
+        return {}
+    out = {}
+    try:
+        from gpyrn_tpu.models.exact_blocked import refine_converged, \
+            refine_exact
+        NS_N = int(os.environ.get("GPYRN_BENCH_NS_N", "5000"))
+        g5 = _problem(NS_N)
+        mu32, var32, _, _ = _chunked_fit(g5, NS_N, tol=1e-12,
+                                         chunk=30, max_chunks=1)
         mu_c, var_c, it_c, _ = _chunked_fit(
             g5, NS_N, tol=1e-7, chunk=400, max_chunks=2,
             state=(mu32, var32))
@@ -334,7 +362,7 @@ def measure_north_star():
             out["parity_N5000_elbo_df64"] = e_df3
             out["parity_N5000_elbo_f64"] = e64_5k
     except Exception as e:      # noqa: BLE001 — bench must always emit
-        out["ns_error"] = f"{type(e).__name__}: {e}"
+        out["ns_parity_error"] = f"{type(e).__name__}: {e}"
     return out
 
 
@@ -479,13 +507,18 @@ def measure_cg_fit():
     Na = int(os.environ.get("GPYRN_BENCH_CG_N", "10000"))
     env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu",
                GPYRN_TPU_X64="1")
+    # fully deterministic (seeded problem, f64 CPU, one sweep each) —
+    # cache by problem size so only the first-ever run pays the CPU cost
+    agree = _oracle_cache_get("oracle_cg_agree.json", f"N{Na}")
     try:
-        res = subprocess.run(
-            [sys.executable, "-c", _CG_AGREE_SNIPPET % {"here": HERE},
-             str(Na)],
-            capture_output=True, text=True, timeout=2400, check=True,
-            env=env)
-        agree = json.loads(res.stdout.strip().splitlines()[-1])
+        if agree is None:
+            res = subprocess.run(
+                [sys.executable, "-c", _CG_AGREE_SNIPPET % {"here": HERE},
+                 str(Na)],
+                capture_output=True, text=True, timeout=2400, check=True,
+                env=env)
+            agree = json.loads(res.stdout.strip().splitlines()[-1])
+            _oracle_cache_put("oracle_cg_agree.json", f"N{Na}", agree)
         out["n10k_cg_vs_lean_mu_rel"] = agree["mu_rel"]
         out["n10k_cg_vs_lean_var_rel"] = agree["var_rel"]
     except Exception as e:      # noqa: BLE001 — bench must always emit
@@ -869,11 +902,48 @@ print(json.dumps({"elbo": float(e)}))
 """
 
 
+def _oracle_cache_get(cache_name, key):
+    path = os.path.join(HERE, ".bench", cache_name)
+    try:
+        with open(path) as f:
+            return json.load(f).get(key)
+    except Exception:       # noqa: BLE001
+        return None
+
+
+def _oracle_cache_put(cache_name, key, value):
+    path = os.path.join(HERE, ".bench", cache_name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except Exception:       # noqa: BLE001
+        d = {}
+    d[key] = value
+    with open(path, "w") as f:
+        json.dump(d, f)
+
+
 def _f64_refine_subprocess(N, state_file, n_sweeps=3, timeout=1200):
     """Float64 CPU oracle: elbo_refine from the saved state, in a
     subprocess pinned off the TPU (PYTHONPATH cleared to drop the
-    sandbox sitecustomize that re-pins the axon platform)."""
+    sandbox sitecustomize that re-pins the axon platform).
+
+    Content-hash cached: the fit producing the state is seeded and the
+    compiled TPU program deterministic, so repeat bench runs reach this
+    oracle with a byte-identical state — the (state, N, n_sweeps)-keyed
+    cache then skips minutes of single-core CPU work on the driver's
+    clock."""
+    import hashlib
     import subprocess
+    z = np.load(state_file)
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(z["mu"]).tobytes())
+    h.update(np.ascontiguousarray(z["var"]).tobytes())
+    key = f"N{N}_s{n_sweeps}_{h.hexdigest()[:16]}"
+    cached = _oracle_cache_get("oracle_f64_refine.json", key)
+    if cached is not None:
+        return cached
     env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu",
                GPYRN_TPU_X64="1")
     try:
@@ -882,9 +952,51 @@ def _f64_refine_subprocess(N, state_file, n_sweeps=3, timeout=1200):
              state_file, str(N), str(n_sweeps)],
             capture_output=True, text=True, timeout=timeout, check=True,
             env=env)
-        return json.loads(out.stdout.strip().splitlines()[-1])["elbo"]
+        elbo = json.loads(out.stdout.strip().splitlines()[-1])["elbo"]
+        _oracle_cache_put("oracle_f64_refine.json", key, elbo)
+        return elbo
     except Exception:
         return None
+
+
+def measure_headline():
+    """Headline phase: f32 ELBO+grad wall-clock + iters/sec, the f64
+    on-device fit, and the cached reference-CPU baseline."""
+    out = {}
+    try:
+        ours_ms, elbo, ok, ips = measure_ours()
+        out.update({
+            "value": round(ours_ms, 3),
+            "elbo": elbo, "finite": ok,
+            "meanfield_iters_per_sec": round(ips, 1)})
+        base_ms = None
+        if os.environ.get("GPYRN_BENCH_SKIP_BASELINE") != "1":
+            base_ms = measure_baseline()
+        vs = (base_ms / ours_ms) if (base_ms and ok) else float("nan")
+        base_ips = (N_SWEEPS / (base_ms / 1e3)) if base_ms else None
+        out.update({
+            "vs_baseline": round(vs, 2) if np.isfinite(vs) else None,
+            "baseline_ms": round(base_ms, 1) if base_ms else None,
+            "meanfield_iters_per_sec_vs_baseline":
+                round(ips / base_ips, 1) if base_ips else None,
+        })
+        f64_ms, f64_elbo = measure_f64_parity()
+        if f64_ms is not None:
+            out["f64_fit_30sweep_ms"] = round(f64_ms, 1)
+            out["f64_elbo"] = f64_elbo
+            out["f64_vs_baseline"] = \
+                round(base_ms / f64_ms, 2) if base_ms else None
+    except Exception as e:      # noqa: BLE001 — bench must always emit
+        out["headline_error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
+def measure_test_hang():
+    """Test-only phase (GPYRN_BENCH_TEST_HANG=1): sleeps forever so the
+    mid-run-kill test can verify that already-emitted snapshot lines
+    survive a hard kill."""
+    time.sleep(600)
+    return {}
 
 
 def _watchdog(budget):
@@ -896,12 +1008,9 @@ def _watchdog(budget):
     import threading
 
     def fire():
-        out = {"metric": f"elbo_grad_30sweeps_walltime_N{N}_p3_QP_GPRN",
-               "value": None, "unit": "ms", "vs_baseline": None}
-        out.update(_PARTIAL)
-        out["error"] = (f"TimeoutError: bench exceeded {budget}s "
-                        "(GPYRN_BENCH_TIMEOUT); partial fields kept")
-        print(json.dumps(out), flush=True)
+        _PARTIAL["error"] = (f"TimeoutError: bench exceeded {budget}s "
+                             "(GPYRN_BENCH_TIMEOUT); partial fields kept")
+        _emit()
         os._exit(1)
 
     t = threading.Timer(budget, fire)
@@ -931,6 +1040,14 @@ _PLATFORM_NOTE = {}
 # fields accumulated as phases finish, so the watchdog / crash handler
 # can emit everything measured so far instead of an error-only line
 _PARTIAL = {}
+
+
+def _emit():
+    """Print the accumulated snapshot as one self-contained JSON line.
+    Called after every phase: each line is a superset of the previous,
+    so whatever tail of stdout survives a kill parses to the fullest
+    record measured by then."""
+    print(json.dumps(_PARTIAL), flush=True)
 
 # absolute perf_counter() deadline set by main() from GPYRN_BENCH_TIMEOUT;
 # _phase_subprocess trims its timeouts against it
@@ -1040,7 +1157,7 @@ def measure_predict():
 
 def main():
     global _DEADLINE
-    budget = int(os.environ.get("GPYRN_BENCH_TIMEOUT", "5400"))
+    budget = int(os.environ.get("GPYRN_BENCH_TIMEOUT", "2400"))
     if budget > 0:
         _DEADLINE = time.perf_counter() + budget
     if os.environ.get("GPYRN_BENCH_PROBE", "1") != "0" \
@@ -1050,13 +1167,10 @@ def main():
         # so the round still records real numbers, clearly labeled
         import jax
         jax.config.update("jax_platforms", "cpu")
-        os.environ["GPYRN_BENCH_NS"] = "0"
-        os.environ["GPYRN_BENCH_LARGE"] = "0"
-        os.environ["GPYRN_BENCH_CG"] = "0"
-        os.environ["GPYRN_BENCH_MCMC"] = "0"
-        os.environ["GPYRN_BENCH_OPT"] = "0"
-        os.environ["GPYRN_BENCH_PREDICT"] = "0"
+        for k in ("NS", "LARGE", "CG", "MCMC", "OPT", "PREDICT"):
+            os.environ[f"GPYRN_BENCH_{k}"] = "0"
         os.environ["GPYRN_BENCH_SKIP_F64"] = "1"
+        os.environ["JAX_PLATFORMS"] = "cpu"   # phase subprocesses too
         _PLATFORM_NOTE["platform"] = "cpu-fallback"
         _PLATFORM_NOTE["platform_note"] = \
             "TPU backend unavailable at bench time; trimmed CPU run"
@@ -1069,11 +1183,8 @@ def main():
         # e.g. the axon TPU tunnel is down ("TPU backend setup/compile
         # error (Unavailable)"): still print the one JSON line so the
         # driver records a structured failure instead of nothing
-        out = {"metric": f"elbo_grad_30sweeps_walltime_N{N}_p3_QP_GPRN",
-               "value": None, "unit": "ms", "vs_baseline": None}
-        out.update(_PARTIAL)
-        out["error"] = f"{type(e).__name__}: {e}"
-        print(json.dumps(out))
+        _PARTIAL["error"] = f"{type(e).__name__}: {e}"
+        _emit()
         raise SystemExit(1)
 
 
@@ -1131,40 +1242,48 @@ def _phase_subprocess(name, timeout=2700, tries=2):
     return out
 
 
+# (phase, per-attempt subprocess timeout [s], skip-env suffix or None).
+# Order is headline → north-star → the rest: a budget overrun or kill
+# trims from the tail, never the headline/parity evidence.
+_PHASE_PLAN = [
+    ("headline", 900, None),
+    ("ns", 900, "NS"),
+    ("ns_parity", 900, "NS"),
+    ("large", 600, "LARGE"),
+    ("cg", 600, "CG"),
+    ("mcmc", 600, "MCMC"),
+    ("opt", 600, "OPT"),
+    ("predict", 480, "PREDICT"),
+]
+
+
 def _main():
-    ours_ms, elbo, ok, ips = measure_ours()
     _PARTIAL.update({
         "metric": f"elbo_grad_30sweeps_walltime_N{N}_p3_QP_GPRN",
-        "value": round(ours_ms, 3), "unit": "ms", "vs_baseline": None,
-        "elbo": elbo, "finite": ok,
-        "meanfield_iters_per_sec": round(ips, 1)})
-    f64_ms, f64_elbo = measure_f64_parity()
-    base_ms = measure_baseline()
-    vs = (base_ms / ours_ms) if (base_ms and ok) else float("nan")
-    base_ips = (N_SWEEPS / (base_ms / 1e3)) if base_ms else None
-    _PARTIAL.update({
-        "vs_baseline": round(vs, 2) if np.isfinite(vs) else None,
-        "baseline_ms": round(base_ms, 1) if base_ms else None,
-        "meanfield_iters_per_sec_vs_baseline":
-            round(ips / base_ips, 1) if base_ips else None,
-    })
-    if f64_ms is not None:
-        _PARTIAL["f64_fit_30sweep_ms"] = round(f64_ms, 1)
-        _PARTIAL["f64_elbo"] = f64_elbo
-        _PARTIAL["f64_vs_baseline"] = \
-            round(base_ms / f64_ms, 2) if base_ms else None
-    _PARTIAL.update(measure_north_star())
-    _PARTIAL.update(measure_large_n())
-    _PARTIAL.update(measure_cg_fit())
-    _PARTIAL.update(_phase_subprocess("mcmc"))
-    _PARTIAL.update(_phase_subprocess("opt"))
-    _PARTIAL.update(_phase_subprocess("predict"))
+        "value": None, "unit": "ms", "vs_baseline": None})
     _PARTIAL.update(_PLATFORM_NOTE)
-    print(json.dumps(_PARTIAL))
+    _emit()                      # a kill from here on always finds JSON
+    only = os.environ.get("GPYRN_BENCH_PHASES")
+    only = set(only.split(",")) if only else None
+    plan = list(_PHASE_PLAN)
+    if os.environ.get("GPYRN_BENCH_TEST_HANG") == "1":
+        plan.insert(1, ("test_hang", 900, None))
+    for name, timeout, env_suffix in plan:
+        if only is not None and name not in only:
+            continue
+        if env_suffix and \
+                os.environ.get(f"GPYRN_BENCH_{env_suffix}", "1") == "0":
+            continue
+        _PARTIAL.update(_phase_subprocess(name, timeout=timeout))
+        _emit()
 
 
-_PHASES.update({"mcmc": measure_mcmc, "opt": measure_optimize,
-                "predict": measure_predict})
+_PHASES.update({"headline": measure_headline, "ns": measure_north_star,
+                "ns_parity": measure_ns_parity,
+                "large": measure_large_n, "cg": measure_cg_fit,
+                "mcmc": measure_mcmc, "opt": measure_optimize,
+                "predict": measure_predict,
+                "test_hang": measure_test_hang})
 
 
 if __name__ == "__main__":
