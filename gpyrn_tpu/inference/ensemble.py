@@ -291,6 +291,41 @@ def _run_ensemble_device(gprn, priors, free_names, x0, mu0, var0, niter,
     return result
 
 
+def init_walkers(p0, priors: Dict, free_names, nwalkers: int, rng):
+    """Initial walker positions, reference semantics
+    (meanfield.py:1226-1242).
+
+    ``p0=None``: every walker drawn from the priors.  1-D ``p0``:
+    emcee's ``sample_ellipsoid(p0, diag(sigma)/100)`` — a Gaussian
+    ellipsoid centred on ``p0`` whose COVARIANCE is ``diag(sigma)/100``
+    (per-coordinate stddev ``sqrt(sigma_i/100)``, sigma_i the prior
+    stddev), with outside-prior-support draws replaced by prior samples.
+    2-D ``p0``: used as-is, one row per walker."""
+    if p0 is None:
+        return np.array([[priors[n].rvs() for n in free_names]
+                         for _ in range(nwalkers)])
+    p0 = np.asarray(p0, dtype=float)
+    if p0.ndim != 1:
+        return p0.copy()
+    ndim = p0.shape[0]
+    sigma = []
+    for name in free_names:
+        try:
+            sigma.append(priors[name].std())
+        except TypeError:
+            sigma.append(priors[name].std)
+    sigma = np.array(sigma, dtype=float)
+    # heavy-tailed priors have infinite std — fall back to a 10% ball
+    sigma[~np.isfinite(sigma)] = np.abs(
+        p0[~np.isfinite(sigma)]) * 0.1 + 1e-3
+    x = p0[None, :] + rng.standard_normal((nwalkers, ndim)) * \
+        np.sqrt(sigma[None, :] / 100.0)
+    bad = ~np.isfinite(_prior_logpdf(priors, free_names, x))
+    for i in np.where(bad)[0]:
+        x[i] = [priors[n].rvs() for n in free_names]
+    return x
+
+
 def run_ensemble(gprn, priors: Dict, free_names, p0=None, niter: int = 500,
                  nwalkers: Optional[int] = None, elbo_max_iter: int = 100,
                  a: float = 2.0, seed: int = 0, check_every: int = 10,
@@ -367,28 +402,7 @@ def run_ensemble(gprn, priors: Dict, free_names, p0=None, niter: int = 500,
         return out
 
     # -- initial walker positions ------------------------------------------
-    if p0 is None:
-        x = np.array([[priors[n].rvs() for n in free_names]
-                      for _ in range(nwalkers)])
-    else:
-        p0 = np.asarray(p0, dtype=float)
-        if p0.ndim == 1:
-            sigma = []
-            for name in free_names:
-                try:
-                    sigma.append(priors[name].std())
-                except TypeError:
-                    sigma.append(priors[name].std)
-            sigma = np.array(sigma)
-            sigma[~np.isfinite(sigma)] = np.abs(
-                p0[~np.isfinite(sigma)]) * 0.1 + 1e-3
-            x = p0[None, :] + rng.standard_normal((nwalkers, ndim)) * \
-                (sigma[None, :] / 100)
-            bad = ~np.isfinite(_prior_logpdf(priors, free_names, x))
-            for i in np.where(bad)[0]:
-                x[i] = [priors[n].rvs() for n in free_names]
-        else:
-            x = p0.copy()
+    x = init_walkers(p0, priors, free_names, nwalkers, rng)
 
     # per-walker warm-start caches
     th = full_theta(x)

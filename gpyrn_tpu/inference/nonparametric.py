@@ -47,6 +47,7 @@ class NPVEngine(NamedTuple):
     spec: _core.GPRNSpec
     k: int
     elbo: object          # (theta, t, y, yerr2, mu(k,d), logs(k)) -> scalar
+    terms: object         # same args -> (loglike (k,), logprior (k,), entropy)
     fit: object           # adam loop; returns (elbo, mu, logs, trajectory)
 
 
@@ -90,8 +91,13 @@ def make_npv_engine(spec: _core.GPRNSpec, k: int,
         muW = mu_k[q * N:].reshape(p, q, N)
         return muF, muW
 
-    def elbo(theta, t, y, yerr2, mu, logs):
-        """mu: (k, d) component means; logs: (k,) log std-devs."""
+    def terms(theta, t, y, yerr2, mu, logs):
+        """Per-component ELBO terms at a fixed state: expected
+        log-likelihood (k,), expected log-prior (k,), and the mixture
+        entropy lower bound (scalar).  ``elbo`` below is
+        mean(loglike + logprior) + entropy — exposed separately so the
+        parity suite can anchor each term against the reference's
+        nonparametric ELBOaux (nonparametric.py:272-327)."""
         Kf, Kw, m, jitters = _build(theta, t)
         y_c = jnp.asarray(y) - m
         variance = jitters[:, None] ** 2 + jnp.asarray(yerr2)   # (p, N)
@@ -133,7 +139,8 @@ def make_npv_engine(spec: _core.GPRNSpec, k: int,
                            + quad_f + quad_w
                            + s2_k * (tr_invf + tr_invw))
 
-        comp = jax.vmap(loglike_one)(mu, s2) + jax.vmap(logprior_one)(mu, s2)
+        ll = jax.vmap(loglike_one)(mu, s2)
+        lp = jax.vmap(logprior_one)(mu, s2)
 
         # mixture entropy lower bound
         diff2 = jnp.sum((mu[:, None, :] - mu[None, :, :]) ** 2, axis=-1)
@@ -143,8 +150,12 @@ def make_npv_engine(spec: _core.GPRNSpec, k: int,
         log_qi = jax.scipy.special.logsumexp(log_pair, axis=1) \
             - jnp.log(float(k))
         entropy = -jnp.mean(log_qi)
+        return ll, lp, entropy
 
-        return jnp.mean(comp) + entropy
+    def elbo(theta, t, y, yerr2, mu, logs):
+        """mu: (k, d) component means; logs: (k,) log std-devs."""
+        ll, lp, entropy = terms(theta, t, y, yerr2, mu, logs)
+        return jnp.mean(ll + lp) + entropy
 
     def fit(theta, t, y, yerr2, mu0, logs0, n_steps: int,
             learning_rate: float):
@@ -172,6 +183,7 @@ def make_npv_engine(spec: _core.GPRNSpec, k: int,
     return NPVEngine(
         spec=spec, k=k,
         elbo=jax.jit(elbo),
+        terms=jax.jit(terms),
         fit=jax.jit(fit, static_argnums=(6,)),
     )
 

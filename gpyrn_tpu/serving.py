@@ -119,19 +119,40 @@ class ServingPredictor:
     ``__call__(tstar)`` returns numpy ``(mean (n*, p), var (n*, p),
     node_preds (q, n*), weight_preds (q*p, n*))`` — the same tuple as
     the engine's ``predict``.
+
+    Dtype: requests are cast to the dtype the artifact was exported
+    with (``.dtype``).  Feeding float64 times to a float32 artifact
+    therefore narrows them — a one-time ``UserWarning`` flags it when
+    the cast actually loses precision.  The reverse direction (float64
+    artifact in an x64-disabled serving process) raises inside jax.
     """
 
     def __init__(self, exported):
         _warm_cpu_linalg()
         self.exported = exported
+        self._warned_downcast = False
 
     @property
     def platforms(self):
         return tuple(self.exported.platforms)
 
+    @property
+    def dtype(self):
+        """The request dtype the artifact was exported with."""
+        return np.dtype(self.exported.in_avals[0].dtype)
+
     def __call__(self, tstar):
-        tstar = np.ascontiguousarray(
-            tstar, dtype=self.exported.in_avals[0].dtype)
+        want = self.exported.in_avals[0].dtype
+        arr = np.ascontiguousarray(tstar)
+        if (not self._warned_downcast
+                and np.issubdtype(arr.dtype, np.floating)
+                and np.dtype(arr.dtype).itemsize > np.dtype(want).itemsize):
+            import warnings
+            warnings.warn(
+                f"request dtype {arr.dtype} narrowed to the artifact's "
+                f"{np.dtype(want)} (exported dtype wins)", stacklevel=2)
+            self._warned_downcast = True
+        tstar = np.ascontiguousarray(arr, dtype=want)
         out = self.exported.call(tstar)
         return tuple(np.asarray(o) for o in out)
 

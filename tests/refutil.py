@@ -53,3 +53,35 @@ def ref_single_sweep(ref, nodes, weights, means, jitters, mu, var):
     elbo, mu_n, var_n, _, _ = ref.ELBOaux(Kf, Kw, Lf, Lw, y, j2,
                                           np.asarray(mu), np.asarray(var))
     return float(elbo), np.asarray(mu_n).ravel(), np.asarray(var_n).ravel()
+
+
+def import_reference_nonparametric():
+    """Import the reference's experimental nonparametric module (it uses
+    np.float at :344,:404-405 — covered by the same shim)."""
+    import_reference()
+    from gpyrn import nonparametric
+    return nonparametric
+
+
+def import_reference_evidence():
+    """Import the reference's evidence module, which is unimportable
+    as-shipped: evidence.py:8 does `from gprn import utils` (the package
+    was renamed gprn->gpyrn) and uses `utils.MultivariateGaussian`
+    (evidence.py:309), a class that does not exist in _utils.py either.
+    The shim provides a `gprn` module whose `utils` carries the
+    reference's _utils namespace plus OUR MultivariateGaussian."""
+    import_reference()
+    if "gprn" not in sys.modules:
+        from gpyrn import _utils as _ref_utils
+        from gpyrn_tpu.inference.evidence import MultivariateGaussian
+        utils_mod = types.ModuleType("gprn.utils")
+        for name in dir(_ref_utils):
+            if not name.startswith("__"):
+                setattr(utils_mod, name, getattr(_ref_utils, name))
+        utils_mod.MultivariateGaussian = MultivariateGaussian
+        gprn_mod = types.ModuleType("gprn")
+        gprn_mod.utils = utils_mod
+        sys.modules["gprn"] = gprn_mod
+        sys.modules["gprn.utils"] = utils_mod
+    from gpyrn import evidence
+    return evidence

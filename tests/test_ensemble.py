@@ -119,3 +119,38 @@ def test_device_and_host_paths_agree_statistically(gprn):
     c_h = res_h.get_chain(discard=50, flat=True)[:, 0]
     s = max(c_d.std(), c_h.std())
     assert abs(c_d.mean() - c_h.mean()) < 0.75 * s
+
+
+def test_init_walkers_ellipsoid_semantics():
+    """p0-ball initialization matches emcee's sample_ellipsoid semantic
+    (reference meanfield.py:1239): diag(sigma)/100 is a COVARIANCE, so
+    the per-coordinate spread is sqrt(sigma_i/100) — not sigma_i/100."""
+    from gpyrn_tpu.inference.ensemble import init_walkers
+    names = ['a', 'b']
+    priors = {'a': st.norm(5.0, 4.0), 'b': st.norm(-2.0, 0.25)}
+    p0 = np.array([5.0, -2.0])
+    rng = np.random.default_rng(0)
+    x = init_walkers(p0, priors, names, 4000, rng)
+    assert x.shape == (4000, 2)
+    expect = np.sqrt(np.array([4.0, 0.25]) / 100.0)
+    np.testing.assert_allclose(x.std(axis=0), expect, rtol=0.1)
+    np.testing.assert_allclose(x.mean(axis=0), p0, atol=4 * expect.max())
+
+
+def test_init_walkers_support_rejection_and_passthrough():
+    from gpyrn_tpu.inference.ensemble import init_walkers
+    names = ['s']
+    priors = {'s': st.lognorm(s=0.5, scale=1.0)}    # support (0, inf)
+    rng = np.random.default_rng(1)
+    # p0 barely positive: the ellipsoid (std sqrt(0.5-ish/10)) crosses 0
+    # constantly; every returned walker must still be inside support
+    x = init_walkers(np.array([1e-4]), priors, names, 200, rng)
+    assert np.all(x > 0)
+    # 2-D p0 is used verbatim
+    explicit = np.array([[1.0], [2.0]])
+    out = init_walkers(explicit, priors, names, 2, rng)
+    np.testing.assert_array_equal(out, explicit)
+    # p0=None draws from the priors
+    out = init_walkers(None, priors, names, 300, rng)
+    lo, hi = st.lognorm(s=0.5, scale=1.0).ppf([0.001, 0.999])
+    assert np.all(out > 0) and lo < np.median(out) < hi

@@ -77,11 +77,19 @@ def test_f32_export_dtype(tiny_dataset):
     gprn = _fitted_model(tiny_dataset)
     art = serving.export_predict(gprn, dtype=np.float32)
     serve = serving.ServingPredictor(art)
+    assert serve.dtype == np.float32
     tstar = np.linspace(0.0, 30.0, 9)
-    mean_s, var_s = serve(tstar)[:2]
+    # float64 request into a float32 artifact: warns once, then serves
+    with pytest.warns(UserWarning, match="narrowed to the artifact's"):
+        mean_s, var_s = serve(tstar)[:2]
     assert mean_s.dtype == np.float32
     mean_r, var_r = gprn._Prediction(tstar=tstar)
     np.testing.assert_allclose(mean_s, mean_r, rtol=5e-4, atol=5e-4)
+    # same-width requests never warn
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        serve(tstar.astype(np.float32))
 
 
 def test_cross_platform_export(tiny_dataset):
