@@ -79,11 +79,13 @@ def blocked_cholesky(A, block: int = DEFAULT_BLOCK, precision=None):
     ``(L, Linv_d)``: the (identity-padded) lower factor and the
     (B, nb, T, T) inverses of its diagonal blocks.
 
-    The O(N³) panel updates are batched GEMMs assembled from per-step
-    STRIPS (no O(nb) full-buffer ``at[].set`` copies); only the T×T
-    diagonal factorizations use XLA's cholesky.  Same speed as XLA's
-    monolithic cholesky on the chip today — it exists because callers
-    get ``Linv_d`` for free, which :func:`diag_Ainv` reuses."""
+    The O(N³) panel updates are batched GEMMs reading/writing a single
+    in-place factor buffer (dynamic-update-slice aliases it; per-step
+    strip concatenation instead kept an O(nb) cascade of near-N² temps
+    live — OOM at N=20k); only the T×T diagonal factorizations use
+    XLA's cholesky.  Same speed as XLA's monolithic cholesky on the
+    chip today — it exists because callers get ``Linv_d`` for free,
+    which :func:`diag_Ainv` reuses."""
     A = jnp.asarray(A)
     B, N, _ = A.shape
     T = _block_size(N, block)
@@ -95,19 +97,21 @@ def blocked_cholesky(A, block: int = DEFAULT_BLOCK, precision=None):
         A = A.at[:, idx, idx].set(1.0)
     mm = functools.partial(jnp.einsum, precision=precision)
 
-    cols = []       # strip j: (B, Npad - j*T, T), rows j*T.. of column j
+    # History lives in ONE (B, Npad, Npad) buffer updated in place by
+    # dynamic-update-slice: assembling the per-step history by
+    # concatenating strip buffers instead (the round-3 design) left an
+    # O(nb) cascade of near-N² concat temps live in the buffer plan —
+    # measured ~7 GB of [1, 20480, k·2048] temps at N=20k, pushing
+    # elbo_fit_lean 1.1 GB over the chip's HBM.
+    L = jnp.zeros_like(A)
     linvs = []
     for i in range(nb):
         a = i * T
         if i:
-            # rows a.. of the first a columns, from previous strips
-            hist = jnp.concatenate(
-                [c[:, a - j * T:, :] for j, c in enumerate(cols)],
-                axis=2)                                   # (B, Npad-a, a)
-            top = hist[:, :T, :]
+            top = L[:, a:a + T, :a]                       # (B, T, a)
             Aii = A[:, a:a + T, a:a + T] - mm("bik,bjk->bij", top, top)
             Ari = A[:, a + T:, a:a + T] - mm("bik,bjk->bij",
-                                             hist[:, T:, :], top)
+                                             L[:, a + T:, :a], top)
         else:
             Aii = A[:, :T, :T]
             Ari = A[:, T:, :T]
@@ -116,14 +120,10 @@ def blocked_cholesky(A, block: int = DEFAULT_BLOCK, precision=None):
             Lii, jnp.broadcast_to(jnp.eye(T, dtype=A.dtype), Lii.shape),
             left_side=True, lower=True)
         linvs.append(Linv)
+        L = L.at[:, a:a + T, a:a + T].set(Lii)
         if i + 1 < nb:
             Lri = mm("bik,bjk->bij", Ari, Linv)           # Ari Lii^-T
-            cols.append(jnp.concatenate([Lii, Lri], axis=1))
-        else:
-            cols.append(Lii)
-    L = jnp.concatenate(
-        [jnp.pad(c, ((0, 0), (j * T, 0), (0, 0)))
-         for j, c in enumerate(cols)], axis=2)
+            L = L.at[:, a + T:, a:a + T].set(Lri)
     return L, jnp.stack(linvs, axis=1)
 
 
@@ -150,23 +150,19 @@ def diag_Ainv(L, Linv_d=None, block: int = DEFAULT_BLOCK, precision=None,
                         for i in range(nb)], axis=1)
         Linv_d = _tri_inv_blocks(Ld)
 
-    rows = []       # strip i: (B, T, (i+1)*T) rows of X = L^-1
+    # X = L⁻¹ accumulates in ONE (B, Npad, Npad) buffer (see the
+    # matching note in blocked_cholesky: per-step history concatenation
+    # left an O(nb) cascade of near-N² temps live at N=20k)
+    X = jnp.zeros((B, Npad, Npad), dtype=L.dtype)
     for i in range(nb):
         a = i * T
         Linv = Linv_d[:, i]
         if i:
-            hist = jnp.concatenate(
-                [jnp.pad(r, ((0, 0), (0, 0), (0, a - r.shape[2])))
-                 for r in rows], axis=1)                  # (B, a, a)
-            S = mm("btk,bkn->btn", L[:, a:a + T, :a], hist)
+            S = mm("btk,bkn->btn", L[:, a:a + T, :a], X[:, :a, :a])
             Xi = -mm("bts,bsn->btn", Linv, S)
-            rows.append(jnp.concatenate([Xi, Linv], axis=2))
-        else:
-            rows.append(Linv)
-    acc = jnp.zeros((B, Npad), dtype=L.dtype)
-    for r in rows:
-        w = r.shape[2]
-        acc = acc.at[:, :w].add(jnp.sum(r * r, axis=1))
+            X = X.at[:, a:a + T, :a].set(Xi)
+        X = X.at[:, a:a + T, a:a + T].set(Linv)
+    acc = jnp.sum(X * X, axis=1)
     n = Npad if n_valid is None else n_valid
     return acc[:, :n]
 
