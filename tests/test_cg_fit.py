@@ -83,6 +83,7 @@ def test_woodbury_apply_matches_dense():
                                rtol=1e-9, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_cg_fit_matches_dense(problem):
     """fit_state_cg vs the dense fit_state: <= 1e-4 relative state
     error (measured ~1e-7 at rank 128 for these smooth kernels)."""

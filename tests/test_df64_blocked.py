@@ -65,6 +65,7 @@ def test_matmul_matches_f64(M, K, N, batch):
     assert err < 1e-13
 
 
+@pytest.mark.slow
 def test_matmul_wide_dynamic_range():
     A = rng.standard_normal((24, 80)) * 10.0 ** rng.uniform(-6, 6, (24, 1))
     B = rng.standard_normal((80, 24)) * 10.0 ** rng.uniform(-6, 6, (1, 24))

@@ -30,7 +30,10 @@ def _build(q, p, N, seed=0):
     return m
 
 
-@pytest.mark.parametrize("q,p", [(1, 1), (1, 3), (2, 2)])
+@pytest.mark.parametrize(
+    "q,p", [(1, 1),
+            pytest.param(1, 3, marks=pytest.mark.slow),
+            pytest.param(2, 2, marks=pytest.mark.slow)])
 def test_elbo_fit_lean_matches_dense(q, p):
     m = _build(q, p, N=24, seed=q * 10 + p)
     eng = m.engine

@@ -38,6 +38,7 @@ def test_composite_sum_kernel_engine_parity():
     np.testing.assert_allclose(e1, e2, rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_product_kernel_engine_runs():
     t, data = _data()
     node = g.covfunc.SquaredExponential(1.0, 8.0) * \

@@ -44,6 +44,7 @@ def _f32_args(gprn):
     return (f32(theta), f32(t), f32(gprn.y), f32(gprn.yerr2), mu0, var0)
 
 
+@pytest.mark.slow
 def test_accelerated_fit_stops_at_floor_and_matches_plain_quality():
     gprn = _problem()
     eng = gprn.engine
@@ -67,6 +68,7 @@ def test_accelerated_fit_stops_at_floor_and_matches_plain_quality():
     assert float(e_a) >= float(e_p) - 1e-2 * abs(float(e_p))
 
 
+@pytest.mark.slow
 def test_elbocalc_mixed_accelerated_matches_plain():
     # bound the plain run: its state tolerance sits below this
     # problem's f32 floor, so it runs exactly max_iter sweeps

@@ -58,6 +58,7 @@ def test_elbo_fixed_reaches_fixed_point(gprn):
     assert float(e_fit) <= float(e_400) + 1e-6
 
 
+@pytest.mark.slow
 def test_optimize_adam_improves_elbo(gprn):
     e0 = gprn.ELBO
     res = gprn.optimize_adam(n_steps=30, learning_rate=3e-2, n_sweeps=15)

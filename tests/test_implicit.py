@@ -39,7 +39,11 @@ def _converged_state(m, tol=1e-13):
     return theta, t, mu, var
 
 
-@pytest.mark.parametrize("q,p,k", [(1, 1, 60), (2, 2, 960)])
+# slow tier: the fast gate keeps the finite-difference certification
+# oracle and the meanfield surface test below
+@pytest.mark.parametrize(
+    "q,p,k", [pytest.param(1, 1, 60, marks=pytest.mark.slow),
+              pytest.param(2, 2, 960, marks=pytest.mark.slow)])
 def test_implicit_matches_unrolled_from_fixed_point(q, p, k):
     """Unrolling sweeps from the fixed point converges geometrically to
     the implicit gradient (the contraction rate is problem-dependent —
@@ -93,6 +97,7 @@ def test_implicit_matches_finite_differences_of_converged_elbo():
             f"param {k}: implicit {grad[k]} vs fd {fd}"
 
 
+@pytest.mark.slow
 def test_neumann_adjoint_agrees_with_gmres():
     m = _make(1, 1)
     theta, t, mu, var = _converged_state(m)
@@ -125,6 +130,7 @@ def test_meanfield_surface_implicit():
         m.elbo_grad(method='nope')
 
 
+@pytest.mark.slow
 def test_optimize_adam_implicit_improves_converged_elbo():
     """The bilevel optimizer: each adam step re-converges the state and
     uses the exact implicit hypergradient.  A few steps must improve the

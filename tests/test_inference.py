@@ -170,7 +170,9 @@ def _build_pair(q, p, t, data, with_means=True):
     return ours, ref, (nodes_r, w_r, m_r, jt)
 
 
-@pytest.mark.parametrize("q,p", [(1, 1), (1, 2), (2, 2), (2, 3)])
+@pytest.mark.parametrize(
+    "q,p", [(1, 1), (1, 2), (2, 2),
+            pytest.param(2, 3, marks=pytest.mark.slow)])
 def test_elbo_parity(q, p):
     t, data = _sine_problem(q=q, p=p, N=22, seed=q * 10 + p)
     ours, ref, refcomp = _build_pair(q, p, t, data)

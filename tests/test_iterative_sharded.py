@@ -77,6 +77,7 @@ def test_sharded_cg_single_rhs_squeeze():
     assert np.linalg.norm(resid) / np.linalg.norm(b[:, 0]) < 1e-6
 
 
+@pytest.mark.slow
 def test_predict_iterative_mesh_matches_unsharded():
     """predict_iterative(mesh=...) distributes every conditional solve;
     the prediction must match the unsharded CG path."""
@@ -99,6 +100,7 @@ def test_predict_iterative_mesh_matches_unsharded():
     np.testing.assert_allclose(std_s, std_r, rtol=1e-5, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_cg_fit_sharded_matches_unsharded():
     """The matrix-free TRAINING fit with row-sharded matvecs
     (make_cg_fit(mesh=...)) equals the single-chip CG fit."""

@@ -99,6 +99,7 @@ def test_love_error_decays_with_rank(fitted):
     assert np.all(std_8 >= np.asarray(std_d) - 1e-6)
 
 
+@pytest.mark.slow
 def test_love_mean_matches_cg_path(fitted):
     m = fitted
     tstar = np.linspace(0, 60, 30)

@@ -45,6 +45,7 @@ def test_mixed_elbo_at_least_reference_rule(gprn):
     assert gprn2_elbo >= e_ref - 1e-6
 
 
+@pytest.mark.slow
 def test_mixed_close_to_converged_f64(gprn):
     """Mixed ELBO must agree with a fully-converged f64 fit to ~1e-5."""
     eng = gprn.engine

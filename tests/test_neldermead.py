@@ -105,6 +105,7 @@ def test_multistart_population():
         float(np.min(np.asarray(res.fun))))
 
 
+@pytest.mark.slow
 def test_optimize_device_improves_elbo():
     import gpyrn_tpu as g
     rng = np.random.RandomState(2)

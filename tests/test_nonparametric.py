@@ -43,6 +43,7 @@ def test_constructor_odd_args_raises(problem):
         npv.inference(1, t, 3, y, yerr, y)
 
 
+@pytest.mark.slow
 def test_elbo_improves_under_fit(problem):
     t, y, yerr = problem
     gprn = npv.inference(1, t, 2, y, yerr)
@@ -58,6 +59,7 @@ def test_elbo_improves_under_fit(problem):
     assert np.all(var > 0)
 
 
+@pytest.mark.slow
 def test_npv_is_lower_bound_of_meanfield(problem):
     """NPV with an isotropic mixture cannot beat the mean-field optimum on
     this family (same model, strictly smaller variational family)."""

@@ -144,6 +144,7 @@ def test_panel_fit_state_matches_engine():
                                atol=1e-9 * (1 + np.max(np.abs(var_r))))
 
 
+@pytest.mark.slow
 def test_panel_elbo_fit_matches_engine():
     """Full reference-semantics fit (ELBO stopping rule): identical
     ELBO and iteration count, q = 1 p = 1 — lat-sharding cannot help."""
@@ -161,6 +162,7 @@ def test_panel_elbo_fit_matches_engine():
     assert abs(float(e_p) - float(e_r)) < 1e-9 * abs(float(e_r))
 
 
+@pytest.mark.slow
 def test_panel_nonstationary_and_composite_kernels():
     """Slab assembly parity for non-stationary kernels and mixed
     composites (the reference can't even evaluate these mixes)."""
@@ -197,6 +199,7 @@ def _problem_q2(N=80, seed=3):
     return gprn
 
 
+@pytest.mark.slow
 def test_panel_q2_updates():
     """fit_state_panel at q > 1 (updates have no cross-trace terms)."""
     gprn = _problem_q2()
@@ -259,6 +262,7 @@ def test_panel_tri_inv_and_fro_cross_match_dense():
         1 + np.sum(W_ref ** 2))
 
 
+@pytest.mark.slow
 def test_panel_elbo_refine_q2_matches_engine():
     """q = 2 reference-semantics sweeps + ELBO: the cumulative
     cross-trace quirk and the raw-flatten weight-prior pairing, panel-
@@ -280,6 +284,7 @@ def test_panel_elbo_refine_q2_matches_engine():
                                atol=1e-8 * (1 + np.max(np.abs(var_r))))
 
 
+@pytest.mark.slow
 def test_panel_elbo_fit_q2p2_matches_engine():
     """q = 2, p = 2 full reference fit (ELBO stopping rule): identical
     ELBO and iteration count vs the single-chip engine."""
@@ -310,6 +315,7 @@ def test_panel_elbo_fit_q2p2_matches_engine():
     assert abs(float(e_p) - float(e_r)) < 1e-9 * abs(float(e_r))
 
 
+@pytest.mark.slow
 def test_panel_elbo_refine_q3_multiple_cross_pairs():
     """q = 3: all three (j, k) cumulative cross pairs exercised."""
     rng = np.random.default_rng(9)

@@ -47,7 +47,12 @@ def _draw(rng):
     return name, _KERNELS[name](rng)
 
 
-@pytest.mark.parametrize("seed", range(6))
+# seeds 1-4 are slow-tier: two seeds keep the fuzz surface in the
+# routine gate, the full grid runs in the full tier (round-3 verdict
+# item 4: the 14-minute gate was getting skipped)
+@pytest.mark.parametrize(
+    "seed", [0] + [pytest.param(s, marks=pytest.mark.slow)
+                   for s in range(1, 5)] + [5])
 def test_random_model_parity(seed):
     rc, rmn, rm = import_reference()
     rng = np.random.default_rng(1000 + seed)

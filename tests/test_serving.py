@@ -101,7 +101,7 @@ def test_cross_platform_export(tiny_dataset):
                                  dtype=np.float32)
     serve = serving.load_predict(art.serialize())
     assert set(serve.platforms) == {"cpu", "tpu"}
-    tstar = np.linspace(0.0, 30.0, 9)
+    tstar = np.linspace(0.0, 30.0, 9, dtype=np.float32)
     mean_s = serve(tstar)[0]
     mean_r, _ = gprn._Prediction(tstar=tstar)
     np.testing.assert_allclose(mean_s, mean_r, rtol=5e-4, atol=5e-4)

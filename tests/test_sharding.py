@@ -114,6 +114,7 @@ def test_multistart_unknown_method_raises():
         multistart_optimize(gprn, n_restarts=2, method='bfgs')
 
 
+@pytest.mark.slow
 def test_batch_elbo_dp_sharded_matches_unsharded():
     """Evidence importance samples shard over dp (SURVEY §5.8); the
     sharded batch must evaluate to the same ELBOs."""

@@ -26,6 +26,7 @@ def _problem(N=16, seed=0):
     return gprn
 
 
+@pytest.mark.slow
 def test_fit_state_lat_sharded_matches_unsharded():
     ref = _problem()
     eng = ref.engine

@@ -60,6 +60,7 @@ def test_mesh_with_host_loop_raises(gprn):
                      device_chain=False, mesh=mesh)
 
 
+@pytest.mark.slow
 def test_uneven_walkers_fall_back(gprn):
     """Walker counts not divisible by dp stay replicated but still run."""
     n_dev = len(jax.devices())

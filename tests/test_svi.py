@@ -75,6 +75,7 @@ def test_svi_full_batch_rho1_is_exact_coordinate_ascent(gprn6):
     assert np.max(np.abs(np.asarray(var) - np.asarray(var_d))) < 1e-10
 
 
+@pytest.mark.slow
 def test_svi_minibatch_recovers_elbo(gprn6):
     mu_star, var_star, e_star, (theta, t, mu0, var0) = \
         _fixed_point(gprn6)
