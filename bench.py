@@ -430,6 +430,32 @@ def measure_large_n():
         np.asarray(x)
         out["n50k_cg_solve_s"] = round(time.perf_counter() - t0, 2)
         out["n50k_cg_iters"] = int(info)
+        # same solve with the rank-128 pivoted-Cholesky split-form
+        # preconditioner (ops/iterative.split_precond): the plain solve
+        # stalls at maxiter on this conditioning; preconditioned it
+        # converges in a handful of iterations (round-4 measurement:
+        # 200 iters / relres 0.42 → 5 iters / relres 1.3e-3)
+        from gpyrn_tpu.ops.iterative import pivoted_cholesky, \
+            split_precond
+        import jax.numpy as jnp2
+        a_diag = jnp2.full(Nc, jnp2.asarray(1e-2, tc.dtype))
+
+        def _pre_solve():
+            U, _ = pivoted_cholesky(k.structure, pars, tc, 128,
+                                    nugget=0.0)
+            pre = split_precond(U, a_diag)
+            return cg_solve(mv, b, tol=1e-4, maxiter=200,
+                            precond_apply=pre)
+        xp, infop = _pre_solve()
+        np.asarray(xp)                       # compile + force
+        t0 = time.perf_counter()
+        xp, infop = _pre_solve()
+        np.asarray(xp)
+        out["n50k_cg_pre_solve_s"] = round(time.perf_counter() - t0, 2)
+        out["n50k_cg_pre_iters"] = int(infop)
+        rres = mv(xp) - b
+        out["n50k_cg_pre_relres"] = round(float(
+            jnp2.linalg.norm(rres) / jnp2.linalg.norm(b)), 6)
     except Exception as e:      # noqa: BLE001
         out["n50k_error"] = f"{type(e).__name__}: {e}"
     return out

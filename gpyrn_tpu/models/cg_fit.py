@@ -49,7 +49,8 @@ from jax import lax
 from gpyrn_tpu.models.gprn import GPRNSpec, unpack_parameters
 from gpyrn_tpu.ops import means as means_mod
 from gpyrn_tpu.ops.iterative import (cg_solve, kernel_diag,
-                                     kernel_matvec, pivoted_cholesky)
+                                     kernel_matvec, pivoted_cholesky,
+                                     split_precond)
 from gpyrn_tpu.ops.linalg import F32_JITTER_MULT, TRAIN_NUGGET
 
 __all__ = ["CGFitEngine", "make_cg_fit"]
@@ -211,36 +212,12 @@ def make_cg_fit(spec: GPRNSpec, rank: int = 128, cg_tol: float = 1e-6,
         C2 = jnp.eye(rank, dtype=U.dtype) + U.T @ Uh
         L2 = jnp.linalg.cholesky(C2)
 
-        # Preconditioner apply in SPLIT form: M⁻¹r = E (Eᵀ r) with
-        # M⁻¹ = E Eᵀ for M = U Uᵀ + diag(h) — the exact inverse of the
-        # compressed A, so CG converges in a handful of steps.
-        #   E = diag(1/√h) (I + Ũ Ũᵀ)^(−1/2),  Ũ = U/√h,
-        #   (I + Ũ Ũᵀ)^(−1/2) v = v − ŨQ diag((1−(1+λ)^(−1/2))/λ) QᵀŨᵀ v
-        # via the m×m eigendecomposition Ũᵀ Ũ = Q diag(λ) Qᵀ.
-        # Why not the one-shot Woodbury apply: when U Uᵀ ≫ diag(h)
-        # (smooth kernel, large N) it is the small difference of two
-        # huge terms — its f32 rounding noise scales as eps·λmax and
-        # EXCEEDS the true value, so the computed map turns INDEFINITE
-        # (measured rᵀM⁻¹r < 0 at N=50k), β = rz'/rz explodes, and CG
-        # NaNs within two iterations.  Each root-apply cancels only by
-        # √λmax (relative error ~ eps·√λmax ≈ 1e-4 here), so the
-        # composition keeps rᵀz = ‖Eᵀr‖²(1 + O(1e-4)) positive.
-        sqrt_h = jnp.sqrt(h)
-        Ut = U / sqrt_h[:, None]
-        lam, Qe = jnp.linalg.eigh(Ut.T @ Ut)
-        lam = jnp.maximum(lam, 0.0)
-        w = jnp.where(lam > 1e-6,
-                      (1.0 - 1.0 / jnp.sqrt(1.0 + lam))
-                      / jnp.maximum(lam, 1e-30),
-                      0.5 - 0.375 * lam)      # series at λ → 0
-        Uq = Ut @ Qe                           # (N, m)
-
-        def root_apply(v):                     # (I + Ũ Ũᵀ)^(−1/2) v
-            return v - Uq @ (w[:, None] * (Uq.T @ v))
-
-        def precond(r):                        # M⁻¹ r = E (Eᵀ r)
-            u = root_apply(r / sqrt_h[:, None])
-            return root_apply(u) / sqrt_h[:, None]
+        # Preconditioner M = U Uᵀ + diag(h) — the exact inverse of the
+        # compressed A, so CG converges in a handful of steps.  Applied
+        # in SPD-safe symmetric square-root form (ops/iterative.
+        # split_precond; the one-shot Woodbury apply turns indefinite
+        # in f32 at λmax ~ N — see its docstring).
+        precond = split_precond(U, h)
 
         def mv(x):
             return _kmv(structure, cp, t, x, nu) + d_add[:, None] * x

@@ -37,7 +37,7 @@ from gpyrn_tpu.ops import kernels as _k
 __all__ = ["kernel_matvec", "cg_solve", "slq_logdet", "lanczos",
            "lanczos_vectors", "df64_kernel_matvec", "cg_refined",
            "kernel_diag", "pivoted_cholesky", "woodbury_apply",
-           "msqrt_apply"]
+           "split_precond", "msqrt_apply"]
 
 
 def kernel_matvec(structure, params, t, v, nugget=0.0, chunk: int = 2048):
@@ -222,6 +222,48 @@ def woodbury_apply(U, a, r):
     C = jnp.eye(U.shape[1], dtype=U.dtype) + U.T @ Ua
     s = jnp.linalg.solve(C, U.T @ ra)
     return ra - Ua @ s
+
+
+def split_precond(U, h):
+    """SPD-safe CG preconditioner apply for M = U Uᵀ + diag(h): returns
+    ``precond(r) = E (Eᵀ r) = M⁻¹ r`` in symmetric square-root form
+    E = diag(h)^(−1/2) (I + Ũ Ũᵀ)^(−1/2), Ũ = diag(h)^(−1/2) U.
+
+    Why not :func:`woodbury_apply`: the one-shot Woodbury difference
+    cancels catastrophically in f32 once λmax(Ũ Ũᵀ) ~ N — the computed
+    apply turns INDEFINITE (measured rᵀM⁻¹r < 0 at N=50k, which freezes
+    or NaNs CG; even when positive, the bench's N=50k kernel solve
+    stalled at relres ~0.1 with it vs 1e-3 with this form).  Each
+    root-apply here cancels only by √λmax (relative error ~ eps·√λmax),
+    so rᵀ(E Eᵀ)r = ‖Eᵀr‖²(1 + O(eps·√λmax)) stays positive.  The
+    (I + Ũ Ũᵀ)^(−1/2) uses an m×m eigendecomposition with a series
+    fallback at λ → 0.  Accepts (N,) or (N, k) right-hand sides.
+
+    Measured at N=50k (QuasiPeriodic + 1e-2 nugget, f32 on the v5e):
+    unpreconditioned CG stalls at relres 0.42 after 200 iterations;
+    with rank-128 pivoted-Cholesky U this preconditioner converges in
+    5 iterations (true relres 1.3e-3, the f32 floor)."""
+    h = jnp.asarray(h)
+    sqrt_h = jnp.sqrt(h)[:, None]
+    Ut = U / sqrt_h
+    lam, Qe = jnp.linalg.eigh(Ut.T @ Ut)
+    lam = jnp.maximum(lam, 0.0)
+    w = jnp.where(lam > 1e-6,
+                  (1.0 - 1.0 / jnp.sqrt(1.0 + lam))
+                  / jnp.maximum(lam, 1e-30),
+                  0.5 - 0.375 * lam)[:, None]      # series at λ → 0
+    Uq = Ut @ Qe
+
+    def root_apply(v):                  # (I + Ũ Ũᵀ)^(−1/2) v
+        return v - Uq @ (w * (Uq.T @ v))
+
+    def precond(r):
+        r2 = r[:, None] if r.ndim == 1 else r
+        u = root_apply(r2 / sqrt_h)
+        out = root_apply(u) / sqrt_h
+        return out[:, 0] if r.ndim == 1 else out
+
+    return precond
 
 
 def lanczos_vectors(matvec, v0, n_steps: int):

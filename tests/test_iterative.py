@@ -286,3 +286,46 @@ def test_sample_iterative_matches_prior_covariance():
                       for s in range(200)])
     emp_var = draws.var(axis=0)
     assert abs(emp_var.mean() - 1.3 ** 2) < 0.25 * 1.3 ** 2
+
+
+def test_split_precond_matches_dense_inverse():
+    """split_precond applies M⁻¹ for M = U Uᵀ + diag(h) exactly (f64),
+    in both the (N,) and (N, k) calling conventions."""
+    from gpyrn_tpu.ops.iterative import split_precond
+    rng = np.random.default_rng(3)
+    N, m = 60, 7
+    U = jnp.asarray(rng.standard_normal((N, m)))
+    h = jnp.asarray(0.5 + rng.random(N))
+    M = np.asarray(U @ U.T) + np.diag(np.asarray(h))
+    pre = split_precond(U, h)
+    r = rng.standard_normal(N)
+    np.testing.assert_allclose(np.asarray(pre(jnp.asarray(r))),
+                               np.linalg.solve(M, r), rtol=1e-9,
+                               atol=1e-12)
+    R = rng.standard_normal((N, 3))
+    np.testing.assert_allclose(np.asarray(pre(jnp.asarray(R))),
+                               np.linalg.solve(M, R), rtol=1e-9,
+                               atol=1e-12)
+
+
+def test_split_precond_accelerates_ill_conditioned_cg():
+    """On a smooth-kernel system where plain CG stalls, the rank-m
+    pivoted-Cholesky split preconditioner reaches the tolerance in a
+    small fraction of the iterations (the N=50k bench measurement's
+    small-N analogue)."""
+    from gpyrn_tpu.ops.iterative import pivoted_cholesky, split_precond
+    rng = np.random.default_rng(11)
+    N = 400
+    t = jnp.asarray(np.sort(rng.uniform(0, 100, N)))
+    k = g.covfunc.SquaredExponential(1.0, 30.0)   # very smooth: tiny eigs
+    pars = jnp.asarray(np.asarray(k.core_params(), float))
+    b = jnp.asarray(rng.standard_normal(N))
+    nug = 1e-6
+    mv = lambda x: kernel_matvec(k.structure, pars, t, x, nugget=nug)
+    x0, it0 = cg_solve(mv, b, tol=1e-8, maxiter=300)
+    U, _ = pivoted_cholesky(k.structure, pars, t, 40, nugget=0.0)
+    pre = split_precond(U, jnp.full(N, nug))
+    x1, it1 = cg_solve(mv, b, tol=1e-8, maxiter=300, precond_apply=pre)
+    rel = float(jnp.linalg.norm(mv(x1) - b) / jnp.linalg.norm(b))
+    assert rel < 1e-6
+    assert int(it1) * 4 <= int(it0), (int(it1), int(it0))
