@@ -36,11 +36,12 @@ __all__ = ["cg_solve_sharded"]
 
 
 @functools.lru_cache(maxsize=32)
-def _build(structure, mesh, axis_name, chunk, jacobi, nonstat):
+def _build(structure, mesh, axis_name, chunk, jacobi, nonstat,
+           lowrank):
     n_dev = mesh.shape[axis_name]
 
     def inner(params, t_full, b_full, d_full, m_full, nugget, tol,
-              maxiter):
+              maxiter, Uq, w, sqrt_h):
         Np = t_full.shape[0]
         Nl = Np // n_dev
         i = lax.axis_index(axis_name)
@@ -77,22 +78,36 @@ def _build(structure, mesh, axis_name, chunk, jacobi, nonstat):
                 * lax.dynamic_slice_in_dim(p_full, i * Nl, Nl)
             return lax.all_gather(y_loc, axis_name, tiled=True)
 
-        if jacobi:
-            z0 = jnp.zeros_like(t_loc)
-            if nonstat:
-                dK = _k.evaluate(structure, params, r=z0, t1=t_loc,
-                                 t2=t_loc)
-            else:
-                dK = _k.evaluate(structure, params, r=z0)
-            minv_loc = m_loc / (dK * m_loc + nugget * m_loc + d_loc)
-            Minv = lax.all_gather(minv_loc, axis_name, tiled=True)
-            Minv = Minv + (1.0 - m_full)     # pad rows: identity
+        if lowrank:
+            # low-rank split-form preconditioner on REPLICATED vectors
+            # (ops/iterative.split_precond staged for shard_map: Uq, w,
+            # sqrt_h precomputed outside — the apply is two m-GEMVs,
+            # O(N·m) local work, no collective)
+            def apply_precond(r):
+                v = r / sqrt_h[:, None]
+                v = v - Uq @ (w[:, None] * (Uq.T @ v))
+                v = v - Uq @ (w[:, None] * (Uq.T @ v))
+                return v / sqrt_h[:, None]
         else:
-            Minv = jnp.ones_like(m_full)
+            if jacobi:
+                z0 = jnp.zeros_like(t_loc)
+                if nonstat:
+                    dK = _k.evaluate(structure, params, r=z0, t1=t_loc,
+                                     t2=t_loc)
+                else:
+                    dK = _k.evaluate(structure, params, r=z0)
+                minv_loc = m_loc / (dK * m_loc + nugget * m_loc + d_loc)
+                Minv = lax.all_gather(minv_loc, axis_name, tiled=True)
+                Minv = Minv + (1.0 - m_full)     # pad rows: identity
+            else:
+                Minv = jnp.ones_like(m_full)
+
+            def apply_precond(r):
+                return r * Minv[:, None]
 
         x0 = jnp.zeros_like(b_full)
         r0 = b_full
-        z0 = r0 * Minv[:, None]
+        z0 = apply_precond(r0)
         rz0 = jnp.sum(r0 * z0, axis=0)
         bnorm = jnp.maximum(jnp.linalg.norm(b_full, axis=0), 1e-30)
 
@@ -109,7 +124,7 @@ def _build(structure, mesh, axis_name, chunk, jacobi, nonstat):
             alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
             x = jnp.where(ok[None, :], x + alpha[None, :] * p, x)
             r = jnp.where(ok[None, :], r - alpha[None, :] * Ap, r)
-            z = r * Minv[:, None]
+            z = apply_precond(r)
             rz_new = jnp.sum(r * z, axis=0)
             beta = jnp.where(ok & (rz_new > 0) & jnp.isfinite(rz_new),
                              rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
@@ -117,7 +132,7 @@ def _build(structure, mesh, axis_name, chunk, jacobi, nonstat):
             return x, r, z, p, rz_new, it + 1
 
         x, r, z, p, rz, it = lax.while_loop(
-            cond, body, (x0, r0, z0, r0 * Minv[:, None], rz0,
+            cond, body, (x0, r0, z0, z0, rz0,
                          jnp.asarray(0, jnp.int32)))
         return x, it
 
@@ -130,14 +145,20 @@ def _build(structure, mesh, axis_name, chunk, jacobi, nonstat):
 def cg_solve_sharded(structure, params, t, b, mesh, d_add=None,
                      nugget=0.0, tol: float = 1e-6, maxiter: int = 200,
                      chunk: int = 1024, axis_name: str = DP_AXIS,
-                     jacobi: bool = True):
+                     jacobi: bool = True, precond_rank: int = 0):
     """Solve (K(t,t) + nugget·I + diag(d_add)) x = b over the mesh.
 
     Same contract as :func:`gpyrn_tpu.ops.iterative.cg_solve` with the
     kernel matvec's rows distributed over ``mesh``'s ``axis_name`` axis
     (per-matvec FLOPs divide by the axis size).  ``b`` may be (N,) or
-    (N, k); optional Jacobi preconditioning.  Returns ``(x, n_iters)``
-    as host arrays.
+    (N, k).  Preconditioning: Jacobi by default; ``precond_rank > 0``
+    switches to the rank-m pivoted-Cholesky split-form preconditioner
+    (:func:`gpyrn_tpu.ops.iterative.split_precond` semantics — the
+    single-chip N=50k measurement is 200 stalled iterations → 5).  U is
+    built once on the default device (O(N·m) memory, replicated into
+    the solve); the per-iteration apply is two m-GEMVs of local work,
+    so the distributed matvec stays the only collective.  Returns
+    ``(x, n_iters)`` as host arrays.
     """
     t = np.asarray(t)
     b = np.asarray(b)
@@ -156,10 +177,36 @@ def cg_solve_sharded(structure, params, t, b, mesh, d_add=None,
     d = np.zeros(Np) if d_add is None else \
         np.pad(np.asarray(d_add, dtype=float), (0, pad))
     d_full = jnp.asarray(d, dtype) + (1.0 - m_full)   # pad diag = 1
+    lowrank = int(precond_rank) > 0
+    if lowrank:
+        from gpyrn_tpu.ops.iterative import pivoted_cholesky
+        U, _ = pivoted_cholesky(structure, jnp.asarray(params, dtype),
+                                jnp.asarray(t, dtype),
+                                int(precond_rank), nugget=0.0)
+        # pad rows: zero U rows + unit diagonal → M pad block = I
+        U = jnp.pad(jnp.asarray(U, dtype), ((0, pad), (0, 0)))
+        h = jnp.asarray(
+            np.pad(np.full(N, float(nugget)) + (d[:N] if d_add is not None
+                                                else np.zeros(N)),
+                   (0, pad), constant_values=1.0), dtype)
+        sqrt_h = jnp.sqrt(h)
+        Ut = U / sqrt_h[:, None]
+        lam, Qe = jnp.linalg.eigh(Ut.T @ Ut)
+        lam = jnp.maximum(lam, 0.0)
+        w = jnp.where(lam > 1e-6,
+                      (1.0 - 1.0 / jnp.sqrt(1.0 + lam))
+                      / jnp.maximum(lam, 1e-30),
+                      0.5 - 0.375 * lam)
+        Uq = Ut @ Qe
+    else:
+        Uq = jnp.zeros((Np, 1), dtype)
+        w = jnp.zeros((1,), dtype)
+        sqrt_h = jnp.ones((Np,), dtype)
     run = _build(structure, mesh, axis_name, int(chunk), bool(jacobi),
-                 bool(_k.is_nonstationary(structure)))
+                 bool(_k.is_nonstationary(structure)), lowrank)
     x, it = run(jnp.asarray(params, dtype), t_full, b_full, d_full,
                 m_full, jnp.asarray(nugget, dtype),
-                jnp.asarray(tol, dtype), jnp.asarray(maxiter, jnp.int32))
+                jnp.asarray(tol, dtype), jnp.asarray(maxiter, jnp.int32),
+                Uq, w, sqrt_h)
     x = np.asarray(x)[:N]
     return (x[:, 0] if squeeze else x), int(it)

@@ -152,3 +152,34 @@ def test_cg_fit_sharded_indivisible_raises():
     mesh = make_mesh(shape=(len(jax.devices()), 1))
     with pytest.raises(ValueError, match="divisible"):
         make_cg_fit(spec, rank=16, core_maps=core_maps, mesh=mesh)
+
+
+def test_sharded_cg_lowrank_precond_matches_and_accelerates():
+    """precond_rank: the distributed solve with the rank-m
+    pivoted-Cholesky split preconditioner returns the same solution as
+    the Jacobi-preconditioned distributed solve, in fewer iterations on
+    a smooth (ill-conditioned) kernel — including the N % devices != 0
+    padding path, where the preconditioner's pad rows must reduce to
+    the identity."""
+    rng = np.random.default_rng(7)
+    N = 133                                   # pad path on 8 devices
+    t = np.sort(rng.uniform(0, 100, N))
+    b = rng.standard_normal((N, 2))
+    k = g.covfunc.SquaredExponential(1.0, 30.0)   # smooth: tiny eigs
+    pars = np.asarray(k.core_params(), dtype=float)
+    mesh = make_mesh(shape=(len(jax.devices()), 1))
+    nug = 1e-6
+    x_j, it_j = cg_solve_sharded(k.structure, pars, t, b, mesh,
+                                 nugget=nug, tol=1e-9, maxiter=500)
+    x_p, it_p = cg_solve_sharded(k.structure, pars, t, b, mesh,
+                                 nugget=nug, tol=1e-9, maxiter=500,
+                                 precond_rank=40)
+
+    def mv(x):
+        return kernel_matvec(k.structure, pars, t, x, nugget=nug)
+
+    res_p = float(np.linalg.norm(np.asarray(mv(jnp.asarray(x_p))) - b)
+                  / np.linalg.norm(b))
+    assert res_p < 1e-6
+    np.testing.assert_allclose(x_p, x_j, rtol=1e-4, atol=1e-6)
+    assert it_p * 3 <= it_j, (it_p, it_j)
