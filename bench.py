@@ -273,7 +273,10 @@ def measure_north_star():
         refine1_wall = time.perf_counter() - t0
         state_file = os.path.join(HERE, ".bench_state_n1000.npz")
         np.savez(state_file, mu=mu32, var=var32)
-        e64 = _f64_refine_subprocess(1000, state_file)
+        left = _phase_time_left()
+        e64 = _f64_refine_subprocess(
+            1000, state_file,
+            timeout=1200 if left is None else max(60.0, min(1200.0, left)))
         if e64 is not None:
             out["parity_N1000_rel_err"] = abs(e_df - e64) / abs(e64)
             out["parity_N1000_elbo_df64"] = e_df
@@ -355,8 +358,17 @@ def measure_ns_parity():
         state5 = os.path.join(HERE, ".bench_state_n5000.npz")
         np.savez(state5, mu=mu_r, var=var_r)
         e_df3, _, _ = refine_exact(g5, mu_r, var_r, n_sweeps=3)
+        # cap the oracle at the REMAINING phase budget: an uncached slow
+        # oracle must time out gracefully (parity fields skipped, note
+        # emitted) rather than drag the whole phase into its kill and
+        # erase the stationarity fields above (round-4 advisor finding)
+        left = _phase_time_left()
+        oracle_to = 3000 if left is None else max(60.0, min(3000.0, left))
         e64_5k = _f64_refine_subprocess(NS_N, state5, n_sweeps=3,
-                                        timeout=3000)
+                                        timeout=oracle_to)
+        if e64_5k is None:
+            out["ns_parity_oracle_note"] = (
+                f"f64 oracle unavailable within {oracle_to:.0f}s budget")
         if e64_5k is not None:
             out["parity_N5000_rel_err"] = abs(e_df3 - e64_5k) / abs(e64_5k)
             out["parity_N5000_elbo_df64"] = e_df3
@@ -532,13 +544,22 @@ def measure_cg_fit():
     if os.environ.get("GPYRN_BENCH_CG", "1") == "0":
         return {}
     out = {}
+    import hashlib
     import subprocess
     Na = int(os.environ.get("GPYRN_BENCH_CG_N", "10000"))
     env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu",
                GPYRN_TPU_X64="1")
     # fully deterministic (seeded problem, f64 CPU, one sweep each) —
-    # cache by problem size so only the first-ever run pays the CPU cost
-    agree = _oracle_cache_get("oracle_cg_agree.json", f"N{Na}")
+    # cached so only the first run per CODE VERSION pays the CPU cost:
+    # the key folds in a hash of the two compared implementations (and
+    # the snippet), so editing either path re-measures instead of
+    # replaying a stale committed number (round-4 advisor finding)
+    sh = hashlib.sha256(_CG_AGREE_SNIPPET.encode())
+    for rel in ("gpyrn_tpu/models/cg_fit.py", "gpyrn_tpu/models/gprn.py"):
+        with open(os.path.join(HERE, rel), "rb") as f:
+            sh.update(f.read())
+    agree_key = f"N{Na}_{sh.hexdigest()[:12]}"
+    agree = _oracle_cache_get("oracle_cg_agree.json", agree_key)
     try:
         if agree is None:
             res = subprocess.run(
@@ -547,7 +568,7 @@ def measure_cg_fit():
                 capture_output=True, text=True, timeout=2400, check=True,
                 env=env)
             agree = json.loads(res.stdout.strip().splitlines()[-1])
-            _oracle_cache_put("oracle_cg_agree.json", f"N{Na}", agree)
+            _oracle_cache_put("oracle_cg_agree.json", agree_key, agree)
         out["n10k_cg_vs_lean_mu_rel"] = agree["mu_rel"]
         out["n10k_cg_vs_lean_var_rel"] = agree["var_rel"]
     except Exception as e:      # noqa: BLE001 — bench must always emit
@@ -1070,6 +1091,19 @@ _PLATFORM_NOTE = {}
 # can emit everything measured so far instead of an error-only line
 _PARTIAL = {}
 
+# set by the ``--phase`` entry point; lets long inner oracles trim their
+# own timeouts to what remains of the phase budget instead of letting
+# the phase-level kill erase already-measured fields (round-4 advisor)
+_PHASE_START = None
+
+
+def _phase_time_left(reserve: float = 90.0):
+    """Seconds left in this phase's subprocess budget (None if unknown)."""
+    budget = float(os.environ.get("GPYRN_BENCH_PHASE_TIMEOUT", "0"))
+    if budget <= 0 or _PHASE_START is None:
+        return None
+    return budget - (time.perf_counter() - _PHASE_START) - reserve
+
 
 def _emit():
     """Print the accumulated snapshot as one self-contained JSON line.
@@ -1251,7 +1285,8 @@ def _phase_subprocess(name, timeout=2700, tries=2):
                 [sys.executable, os.path.abspath(__file__),
                  "--phase", name],
                 capture_output=True, text=True, timeout=timeout,
-                env=dict(os.environ, GPYRN_BENCH_INPROC="1"))
+                env=dict(os.environ, GPYRN_BENCH_INPROC="1",
+                         GPYRN_BENCH_PHASE_TIMEOUT=str(int(timeout))))
             lines = [ln for ln in res.stdout.strip().splitlines()
                      if ln.startswith("{")]
             if not lines:
@@ -1282,7 +1317,7 @@ def _phase_subprocess(name, timeout=2700, tries=2):
 _PHASE_PLAN = [
     ("headline", 900, None),
     ("ns", 900, "NS"),
-    ("ns_parity", 900, "NS"),
+    ("ns_parity", 1500, "NS"),
     ("large", 600, "LARGE"),
     ("cg", 600, "CG"),
     ("mcmc", 600, "MCMC"),
@@ -1322,6 +1357,7 @@ _PHASES.update({"headline": measure_headline, "ns": measure_north_star,
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
+        _PHASE_START = time.perf_counter()
         print(json.dumps(_PHASES[sys.argv[2]]()))
     else:
         main()

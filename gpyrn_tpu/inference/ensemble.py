@@ -315,9 +315,12 @@ def init_walkers(p0, priors: Dict, free_names, nwalkers: int, rng):
         except TypeError:
             sigma.append(priors[name].std)
     sigma = np.array(sigma, dtype=float)
-    # heavy-tailed priors have infinite std — fall back to a 10% ball
-    sigma[~np.isfinite(sigma)] = np.abs(
-        p0[~np.isfinite(sigma)]) * 0.1 + 1e-3
+    # heavy-tailed priors have infinite std — fall back to a 10% ball.
+    # sigma is a VARIANCE scaled by 1/100 below, so the fallback stddev
+    # 0.1·|p0|+1e-3 must be stored as 100·stddev² for sqrt(sigma/100)
+    # to come out at the intended 10% of |p0|
+    bad_sig = ~np.isfinite(sigma)
+    sigma[bad_sig] = 100.0 * (np.abs(p0[bad_sig]) * 0.1 + 1e-3) ** 2
     x = p0[None, :] + rng.standard_normal((nwalkers, ndim)) * \
         np.sqrt(sigma[None, :] / 100.0)
     bad = ~np.isfinite(_prior_logpdf(priors, free_names, x))

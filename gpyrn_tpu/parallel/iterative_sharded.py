@@ -180,15 +180,22 @@ def cg_solve_sharded(structure, params, t, b, mesh, d_add=None,
     lowrank = int(precond_rank) > 0
     if lowrank:
         from gpyrn_tpu.ops.iterative import pivoted_cholesky
-        U, _ = pivoted_cholesky(structure, jnp.asarray(params, dtype),
-                                jnp.asarray(t, dtype),
-                                int(precond_rank), nugget=0.0)
+        from gpyrn_tpu.ops.linalg import TRAIN_NUGGET
+        U, diag_res = pivoted_cholesky(structure,
+                                       jnp.asarray(params, dtype),
+                                       jnp.asarray(t, dtype),
+                                       int(precond_rank), nugget=0.0)
         # pad rows: zero U rows + unit diagonal → M pad block = I
         U = jnp.pad(jnp.asarray(U, dtype), ((0, pad), (0, 0)))
-        h = jnp.asarray(
-            np.pad(np.full(N, float(nugget)) + (d[:N] if d_add is not None
-                                                else np.zeros(N)),
-                   (0, pad), constant_values=1.0), dtype)
+        # h carries everything M must match beyond U Uᵀ: the pivoting's
+        # remaining diagonal residual, the nugget, and d_add — floored
+        # at TRAIN_NUGGET so h > 0 even for nugget=0, d_add=None (with
+        # h = 0 the split form divides by sqrt_h = 0 and the NaN z
+        # freezes every CG column into a silent x = 0 "solution")
+        h_core = jnp.asarray(diag_res, dtype) + float(nugget) + \
+            jnp.asarray(d[:N], dtype)
+        h_core = jnp.maximum(h_core, jnp.asarray(TRAIN_NUGGET, dtype))
+        h = jnp.pad(h_core, (0, pad), constant_values=1.0)
         sqrt_h = jnp.sqrt(h)
         Ut = U / sqrt_h[:, None]
         lam, Qe = jnp.linalg.eigh(Ut.T @ Ut)

@@ -183,3 +183,27 @@ def test_sharded_cg_lowrank_precond_matches_and_accelerates():
     assert res_p < 1e-6
     np.testing.assert_allclose(x_p, x_j, rtol=1e-4, atol=1e-6)
     assert it_p * 3 <= it_j, (it_p, it_j)
+
+
+def test_sharded_cg_lowrank_precond_zero_nugget_no_d_add():
+    """precond_rank with nugget=0 and no d_add: h must stay positive
+    (pivoting residual + TRAIN_NUGGET floor) — an all-zero h made the
+    split-form preconditioner emit NaN z, whose breakdown guards froze
+    every column into a silent x = 0 at maxiter (round-4 advisor)."""
+    rng = np.random.default_rng(11)
+    N = 64
+    t = np.sort(rng.uniform(0, 100, N))
+    k = g.covfunc.QuasiPeriodic(1.0, 3.0, 20.0, 0.7)
+    pars = np.asarray(k.core_params(), dtype=float)
+    x_true = rng.standard_normal(N)
+    b = np.asarray(kernel_matvec(k.structure, pars, t,
+                                 jnp.asarray(x_true), nugget=0.0))
+    mesh = make_mesh(shape=(len(jax.devices()), 1))
+    x, it = cg_solve_sharded(k.structure, pars, t, b, mesh,
+                             nugget=0.0, tol=1e-8, maxiter=60,
+                             precond_rank=16)
+    assert np.all(np.isfinite(x))
+    assert np.linalg.norm(x) > 0.0, "silent x=0 regression"
+    resid = np.asarray(kernel_matvec(k.structure, pars, t,
+                                     jnp.asarray(x), nugget=0.0)) - b
+    assert np.linalg.norm(resid) / np.linalg.norm(b) < 1e-4
