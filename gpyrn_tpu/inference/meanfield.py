@@ -72,6 +72,23 @@ class inference:
         self.refine_tol = 1e-8      # 'converge' stationarity target
         self.refine_max_sweeps = 80  # 'converge' sweep cap
         self.mixed_tol = 1e-4       # f32 state-convergence tolerance
+        self.mixed_stall = True     # merit-stall stop on the mixed
+        # path's default 'state' branch (engine.fit_state_stall): the
+        # f32 sweep map has a ROUNDING FLOOR — the state wobbles
+        # ~1e-3/sweep forever, so the plain state tolerance often never
+        # fires and the fit burns the whole max_iter budget (measured:
+        # ~1100 sweeps at N=1000 where ~30 reach the floor).  The stall
+        # fit scores each block of ``stall_block`` sweeps by its f32
+        # ELBO and stops after ``stall_patience`` consecutive blocks
+        # fail to improve the best by > ``stall_tol``·|best|, returning
+        # the best-ELBO state for the f64 polish.  Set False for the
+        # round-4 behavior (deepest-possible f32 state per sweep
+        # budget; see the ``fit_accelerate`` caveat on why depth can
+        # matter at very large N).  Ignored by fit_method='cg'/'svi',
+        # mixed_stop='elbo', and fit_accelerate=True.
+        self.stall_block = 8        # f32 sweeps per merit evaluation
+        self.stall_tol = 1e-4       # relative ELBO improvement floor
+        self.stall_patience = 3     # non-improving blocks before stop
         self.mixed_stop = 'state'   # 'state'|'elbo': mixed-precision
         # stopping rule.  'state' (default) iterates the f32 updates
         # until max|Δμ|/(1+max|μ|) < mixed_tol — fastest, but a
@@ -628,8 +645,14 @@ class inference:
                 _, mu32, var32, n_iter, converged, _ = fit(
                     *f32_args, max_iter)
             elif getattr(self, 'fit_method', 'dense') == 'cg':
-                mu32, var32, n_iter, converged = self.cg_engine.fit_state_cg(
-                    *f32_args, max_iter, self.mixed_tol)
+                mu32, var32, n_iter, converged, cg_rres = \
+                    self.cg_engine.fit_state_cg(
+                        *f32_args, max_iter, self.mixed_tol)
+                # achieved TRUE relative residual of the final sweep's
+                # inner solves: in f32 the recursive CG residual drifts,
+                # so the requested cg_tol may sit below the attainable
+                # floor — the honest number is recorded, never assumed
+                self.cg_achieved_relres = float(cg_rres)
             elif getattr(self, 'fit_method', 'dense') == 'svi':
                 from gpyrn_tpu.models.svi import make_svi_fit
                 bp = self.svi_batch_p or max(1, self.p // 4)
@@ -655,6 +678,13 @@ class inference:
             elif self.fit_accelerate:
                 mu32, var32, n_iter, converged = self._accelerated_fit32(
                     f32_args, lean, max_iter)
+            elif self.mixed_stall:
+                fit = self.engine.fit_state_stall_lean if lean \
+                    else self.engine.fit_state_stall
+                mu32, var32, n_iter, converged = fit(
+                    *f32_args, max_iter, self.mixed_tol,
+                    int(self.stall_block), np.float32(self.stall_tol),
+                    int(self.stall_patience))
             else:
                 fit = self.engine.fit_state_lean if lean \
                     else self.engine.fit_state

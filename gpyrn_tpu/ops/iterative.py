@@ -77,7 +77,8 @@ def kernel_matvec(structure, params, t, v, nugget=0.0, chunk: int = 2048):
 
 def cg_solve(matvec, b, tol: float = 1e-8, maxiter: int = 1000,
              precond_diag: Optional[jnp.ndarray] = None, x0=None,
-             precond_apply=None):
+             precond_apply=None, refresh_every: int = 0,
+             return_relres: bool = False):
     """Solve A x = b by preconditioned conjugate gradients.
 
     ``matvec`` maps (N, m) -> (N, m) (columns are independent systems);
@@ -88,6 +89,19 @@ def cg_solve(matvec, b, tol: float = 1e-8, maxiter: int = 1000,
     Jacobi (``precond_diag``, divides by it) or a general SPD apply
     ``precond_apply(r) = M⁻¹ r`` (e.g. :func:`woodbury_apply` around a
     pivoted-Cholesky factor).  Returns (x, n_iters).
+
+    HONESTY CONTROLS (round-4 verdict item 3: in f32 the RECURSIVE
+    residual drifts below the true residual b − A x, so the stopping
+    test can report a tolerance the solution does not meet):
+
+    * ``refresh_every=k`` recomputes the TRUE residual every k
+      iterations (one extra matvec each) and restarts the search
+      direction there — the stopping test then acts on the honest
+      residual, so the solve either meets ``tol`` for real or runs to
+      ``maxiter`` at its precision floor.
+    * ``return_relres=True`` appends the achieved true relative
+      residual max over columns (one final matvec) to the return:
+      ``(x, n_iters, relres)``.
     """
     b = jnp.asarray(b)
     squeeze = b.ndim == 1
@@ -132,16 +146,41 @@ def cg_solve(matvec, b, tol: float = 1e-8, maxiter: int = 1000,
         alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
         x = jnp.where(ok[None, :], x + alpha[None, :] * p, x)
         r = jnp.where(ok[None, :], r - alpha[None, :] * Ap, r)
+        it = it + 1
+        if refresh_every and int(refresh_every) > 0:
+            def _refresh(args):
+                x_, = args
+                r_t = b - matvec(x_)
+                z_t = apply_M(r_t)
+                # direction restart at the true residual: the old p's
+                # conjugacy was built on the drifted recursion
+                return r_t, z_t, z_t, jnp.sum(r_t * z_t, axis=0)
+
+            def _keep(args):
+                x_, = args
+                z_k = apply_M(r)
+                rz_k = jnp.sum(r * z_k, axis=0)
+                beta = jnp.where(ok & (rz_k > 0) & jnp.isfinite(rz_k),
+                                 rz_k / jnp.where(rz > 0, rz, 1.0), 0.0)
+                return r, z_k, z_k + beta[None, :] * p, rz_k
+
+            r, z, p, rz_new = lax.cond(
+                it % int(refresh_every) == 0, _refresh, _keep, (x,))
+            return x, r, z, p, rz_new, it
         z = apply_M(r)
         rz_new = jnp.sum(r * z, axis=0)
         beta = jnp.where(ok & (rz_new > 0) & jnp.isfinite(rz_new),
                          rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
         p = z + beta[None, :] * p
-        return x, r, z, p, rz_new, it + 1
+        return x, r, z, p, rz_new, it
 
     x, r, z, p, rz, it = lax.while_loop(
         cond, body, (x0, r0, z0, p0, rz0, jnp.asarray(0, jnp.int32)))
-    return (x[:, 0] if squeeze else x), it
+    x_out = x[:, 0] if squeeze else x
+    if return_relres:
+        relres = jnp.max(jnp.linalg.norm(b - matvec(x), axis=0) / bnorm)
+        return x_out, it, relres
+    return x_out, it
 
 
 def kernel_diag(structure, params, t, nugget=0.0):
@@ -416,7 +455,8 @@ def df64_kernel_matvec(structure, params, t, x, nugget=0.0,
 
 def cg_refined(matvec_f32, residual_matvec, b, n_refine: int = 3,
                tol: float = 1e-6, inner_tol: float = 1e-5,
-               maxiter: int = 500, precond_diag=None):
+               maxiter: int = 500, precond_diag=None,
+               precond_apply=None):
     """Mixed-precision iterative refinement around f32 CG.
 
     Solve A x = b by repeating: r ← b − A x (through ``residual_matvec``,
@@ -429,7 +469,8 @@ def cg_refined(matvec_f32, residual_matvec, b, n_refine: int = 3,
     b64 = _np.asarray(b, _np.float64)
     x0, _ = cg_solve(matvec_f32, jnp.asarray(b, jnp.float32),
                      tol=inner_tol, maxiter=maxiter,
-                     precond_diag=precond_diag)
+                     precond_diag=precond_diag,
+                     precond_apply=precond_apply)
     x = _np.asarray(x0, _np.float64)        # accumulate in float64
     bnorm = max(float(_np.linalg.norm(b64)), 1e-30)
     rel = float("inf")
@@ -440,7 +481,8 @@ def cg_refined(matvec_f32, residual_matvec, b, n_refine: int = 3,
             break
         delta, _ = cg_solve(matvec_f32, jnp.asarray(r, jnp.float32),
                             tol=inner_tol, maxiter=maxiter,
-                            precond_diag=precond_diag)
+                            precond_diag=precond_diag,
+                            precond_apply=precond_apply)
         x = x + _np.asarray(delta, _np.float64)
     r = b64 - _np.asarray(residual_matvec(x), _np.float64)
     rel = float(_np.linalg.norm(r)) / bnorm

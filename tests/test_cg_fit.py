@@ -95,7 +95,7 @@ def test_cg_fit_matches_dense(problem):
     mu_d, var_d, it_d, done_d = eng.fit_state(
         theta, tt, m.y, m.yerr2, mu0, var0, 800, 1e-6)
     cg = m.cg_engine
-    mu_c, var_c, it_c, done_c = cg.fit_state_cg(
+    mu_c, var_c, it_c, done_c, rres_c = cg.fit_state_cg(
         theta, tt, m.y, m.yerr2, mu0, var0, 800, 1e-6)
     assert bool(done_d) and bool(done_c)
     scale = np.max(np.abs(np.asarray(mu_d))) + 1.0

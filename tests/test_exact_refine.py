@@ -113,6 +113,10 @@ def test_mixed_precision_uses_df64_refine(dataset2):
     gmix = build()
     gmix.refine_method = 'df64'
     gmix.mixed_tol = 1e-7
+    # this test pins df64-refine fidelity from a DEEP f32 state; the
+    # default merit-stall stop trades that depth for wall-clock (its
+    # own contract is covered by tests/test_fit_stall.py)
+    gmix.mixed_stall = False
     emix, *_ = gmix.ELBOcalc(precision='mixed')
     assert emix == pytest.approx(e64, rel=2e-6)
 

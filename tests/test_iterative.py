@@ -152,6 +152,64 @@ def test_cg_refined_beats_f32_stall():
     assert float(rel_ref) < rel_plain * 0.5 or rel_plain < 3e-6
 
 
+def test_cg_true_residual_reporting_and_refresh():
+    """Honesty contract (round-4 verdict item 3): ``return_relres``
+    reports the TRUE achieved residual (pinned against an independent
+    b − A x), and with ``refresh_every`` the stopping test acts on the
+    true residual — so a met tolerance is real, and an unreachable one
+    runs to maxiter instead of being silently claimed off the drifted
+    f32 recursion."""
+    rng = np.random.default_rng(9)
+    N = 400
+    t = np.sort(rng.uniform(0, 100, N))
+    kern = g.covfunc.SquaredExponential(1.0, 30.0)   # smooth: huge cond
+    t32 = jnp.asarray(t, jnp.float32)
+    pars32 = jnp.asarray(np.asarray(kern.pars), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(N).astype(np.float32))
+
+    def mv(v):
+        return kernel_matvec(kern.structure, pars32, t32, v,
+                             nugget=1e-4)
+
+    # (a) reported relres == independent true residual
+    x1, it1, rel1 = cg_solve(mv, b, tol=1e-7, maxiter=300,
+                             return_relres=True)
+    true1 = float(jnp.linalg.norm(b - mv(x1)) / jnp.linalg.norm(b))
+    np.testing.assert_allclose(float(rel1), true1, rtol=1e-3)
+    # the f32 floor on this conditioning sits well above 1e-7: the
+    # solver must not pretend otherwise
+    assert true1 > 1e-7
+
+    # (b) an achievable tolerance, stopped on the REFRESHED residual,
+    # is genuinely met
+    x2, it2, rel2 = cg_solve(mv, b, tol=3e-3, maxiter=300,
+                             refresh_every=5, return_relres=True)
+    assert float(rel2) <= 3e-3 * 1.5 or int(it2) == 300
+    true2 = float(jnp.linalg.norm(b - mv(x2)) / jnp.linalg.norm(b))
+    np.testing.assert_allclose(float(rel2), true2, rtol=1e-3)
+
+
+def test_cg_refresh_matches_plain_in_f64(problem):
+    """In float64 (no drift at these tolerances) the refreshed solve
+    returns the same solution as the plain recursion."""
+    rng, t, kern, K = problem
+    N = len(t)
+    d = 0.3 + rng.random(N)
+    b = rng.standard_normal(N)
+
+    def matvec(v):
+        return kernel_matvec(kern.structure, kern.pars, t, v,
+                             nugget=1e-6) + (d[:, None] * v
+                                             if v.ndim == 2 else d * v)
+
+    x_p, _ = cg_solve(matvec, b, tol=1e-10, maxiter=500)
+    x_r, _, rel_r = cg_solve(matvec, b, tol=1e-10, maxiter=500,
+                             refresh_every=7, return_relres=True)
+    np.testing.assert_allclose(np.asarray(x_r), np.asarray(x_p),
+                               rtol=1e-6, atol=1e-9)
+    assert float(rel_r) <= 1e-9
+
+
 def test_cg_warm_restart_equivalent(problem):
     """Two restarted 25-iter CG legs reach the same solution quality as
     one 50-iter run (the host-chunked pattern for runtimes that kill

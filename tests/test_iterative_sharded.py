@@ -124,13 +124,15 @@ def test_cg_fit_sharded_matches_unsharded():
 
     rank = min(48, N)
     eng_u = make_cg_fit(spec, rank=rank, core_maps=core_maps)
-    mu_u, var_u, it_u, _ = eng_u.fit_state_cg(theta, tt, m.y, m.yerr2,
-                                              mu0, var0, 30, 0.0)
+    mu_u, var_u, it_u, _, _ = eng_u.fit_state_cg(theta, tt, m.y,
+                                                 m.yerr2, mu0, var0,
+                                                 30, 0.0)
     mesh = make_mesh(shape=(len(jax.devices()), 1))
     eng_s = make_cg_fit(spec, rank=rank, core_maps=core_maps,
                         mesh=mesh)
-    mu_s, var_s, it_s, _ = eng_s.fit_state_cg(theta, tt, m.y, m.yerr2,
-                                              mu0, var0, 30, 0.0)
+    mu_s, var_s, it_s, _, _ = eng_s.fit_state_cg(theta, tt, m.y,
+                                                 m.yerr2, mu0, var0,
+                                                 30, 0.0)
     assert int(it_s) == int(it_u)
     scale = 1.0 + np.max(np.abs(np.asarray(mu_u)))
     assert np.max(np.abs(np.asarray(mu_s) - np.asarray(mu_u))) / scale \
