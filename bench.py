@@ -238,14 +238,18 @@ def _chunked_fit(gprn, N, tol=1e-4, chunk=500, max_chunks=8, state=None,
         mu, var = eng.init_mu_var(args[0], args[2])
     else:
         mu, var = f32(state[0]), f32(state[1])
-    # compile outside the timed region
+    # compile/warm outside the timed region — np.asarray, NOT
+    # block_until_ready: through the axon tunnel the latter returns
+    # before remote compile/worker-reload tails settle (measured: a
+    # "2.5 s" warm call followed by a 76 s first host transfer after a
+    # worker restart), which would bleed into the timed region
     out = fit(*args, mu, var, 1, np.float32(tol))
-    jax.block_until_ready(out[0])
+    np.asarray(out[0])
     t0 = time.perf_counter()
     total_it = 0
     for _ in range(max_chunks):
         mu, var, it, conv = fit(*args, mu, var, chunk, np.float32(tol))
-        jax.block_until_ready(mu)
+        np.asarray(mu)
         total_it += int(it)
         if bool(conv):
             break
