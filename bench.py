@@ -861,6 +861,15 @@ def measure_mcmc_converged():
         out["mcmc_converged_steps"] = int(res.iteration)
         out["mcmc_converged_step_cap"] = cap
         out["mcmc_converged_tau"] = round(float(np.max(tau)), 1)
+        sps_run = res.iteration / max(wall, 1e-9)
+        if not res.converged:
+            # honest extrapolation when the phase budget caps the run
+            # short of τ·100: steps still needed at the measured τ,
+            # at this run's own steps/s
+            eta_steps = max(float(np.max(tau)) * 100.0 - res.iteration,
+                            0.0)
+            out["mcmc_converged_eta_s"] = round(
+                wall + eta_steps / max(sps_run, 1e-9), 1)
         ref_file = os.path.join(HERE, ".bench", "ref_mcmc_solar.json")
         if os.path.exists(ref_file):
             with open(ref_file) as f:
