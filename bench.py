@@ -611,11 +611,14 @@ def measure_cg_fit():
     agree = _oracle_cache_get("oracle_cg_agree.json", agree_key)
     try:
         if agree is None:
+            left = _phase_time_left(reserve=150.0)
             res = subprocess.run(
                 [sys.executable, "-c", _CG_AGREE_SNIPPET % {"here": HERE},
                  str(Na)],
-                capture_output=True, text=True, timeout=2400, check=True,
-                env=env)
+                capture_output=True, text=True,
+                timeout=2400 if left is None else max(60.0,
+                                                      min(2400.0, left)),
+                check=True, env=env)
             agree = json.loads(res.stdout.strip().splitlines()[-1])
             _oracle_cache_put("oracle_cg_agree.json", agree_key, agree)
         out["n10k_cg_vs_lean_mu_rel"] = agree["mu_rel"]
