@@ -873,9 +873,19 @@ class inference:
         y, yerr2 = jnp.asarray(self.y), jnp.asarray(self.yerr2)
         idx = jnp.asarray(free_idx)
 
+        # the STATIC sweep scan, not the masked power-of-two-bucketed
+        # dispatch: under the simplex loop's vmap, lax.cond lowers to
+        # select, so the masked form executes every bucketed sweep —
+        # a 3-sweep objective would silently run 8 (measured: the
+        # bench's opt_dev30 row dropped 1.85 s → 1.21 s from this
+        # alone).  One compile per distinct n_sweeps value, which an
+        # optimizer calls with one value anyway.
+        elbo_static = eng.elbo_fixed.static
+
         def objective(x):
             theta = base.at[idx].set(x)
-            return -eng.elbo_fixed(theta, t, y, yerr2, mu0, var0, n_sweeps)
+            return -elbo_static(theta, t, y, yerr2, mu0, var0,
+                                int(n_sweeps))
 
         from gpyrn_tpu.inference.neldermead import (nelder_mead,
                                                     nelder_mead_multistart)
