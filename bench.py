@@ -537,14 +537,16 @@ def _chunked_cg_fit(gprn, tol, chunk=200, max_chunks=10, cg_tol=1e-5):
     args = (f32(theta), f32(tt), f32(gprn.y), f32(gprn.yerr2))
     mu, var = eng.init_mu_var(args[0], args[2])
     out = cg.fit_state_cg(*args, mu, var, 1, np.float32(tol))
-    jax.block_until_ready(out[0])            # compile
+    np.asarray(out[0])      # compile/warm: force the host transfer —
+    # block_until_ready returns before remote compile/reload tails
+    # settle through the tunnel (see _chunked_fit)
     t0 = time.perf_counter()
     total_it = 0
     rres = float("nan")
     for _ in range(max_chunks):
         mu, var, it, conv, rres = cg.fit_state_cg(*args, mu, var, chunk,
                                                   np.float32(tol))
-        jax.block_until_ready(mu)
+        np.asarray(mu)
         total_it += int(it)
         if bool(conv):
             break
