@@ -721,16 +721,8 @@ def measure_mcmc():
     out = {}
     try:
         from gpyrn_tpu.inference.ensemble import run_ensemble
-        from gpyrn_tpu.inference import priors as pr
         gprn = _solar_problem()
-        names = list(gprn.parameters_dict.keys())
-        values = list(gprn.parameters_dict.values())
-        priors = {}
-        for n, v in zip(names, values):
-            if v > 0:
-                priors[n] = pr.LogNormal(float(np.log(v)), 0.5)
-            else:
-                priors[n] = pr.Normal(float(v), 1.0)
+        names, priors = _solar_priors(gprn)
         p0 = np.asarray(gprn.get_parameters(), dtype=float)
         ndim = len(names)
         nwalkers = 2 * ndim                  # the reference's default
@@ -821,6 +813,21 @@ def measure_mcmc():
     return out
 
 
+def _solar_priors(gprn):
+    """Log-normal/normal priors around the Solar config's parameters
+    (shared by the mcmc and mcmc_conv phases)."""
+    from gpyrn_tpu.inference import priors as pr
+    names = list(gprn.parameters_dict.keys())
+    values = list(gprn.parameters_dict.values())
+    priors = {}
+    for n, v in zip(names, values):
+        if v > 0:
+            priors[n] = pr.LogNormal(float(np.log(v)), 0.5)
+        else:
+            priors[n] = pr.Normal(float(v), 1.0)
+    return names, priors
+
+
 def measure_mcmc_converged():
     """End-to-end MCMC convergence at the reference workflow's own
     contract (round-4 verdict item 6): run the native device-chain
@@ -835,16 +842,8 @@ def measure_mcmc_converged():
     out = {}
     try:
         from gpyrn_tpu.inference.ensemble import run_ensemble
-        from gpyrn_tpu.inference import priors as pr
         gprn = _solar_problem()
-        names = list(gprn.parameters_dict.keys())
-        values = list(gprn.parameters_dict.values())
-        priors = {}
-        for n, v in zip(names, values):
-            if v > 0:
-                priors[n] = pr.LogNormal(float(np.log(v)), 0.5)
-            else:
-                priors[n] = pr.Normal(float(v), 1.0)
+        names, priors = _solar_priors(gprn)
         p0 = np.asarray(gprn.get_parameters(), dtype=float)
         nwalkers = 2 * len(names)
         kw = dict(p0=p0, nwalkers=nwalkers, elbo_max_iter=100,

@@ -26,6 +26,12 @@ from gpyrn_tpu.models import gprn as _core
 
 __all__ = ["inference"]
 
+# the merit-stall stop (``mixed_stall``) arms only for mixed_tol at or
+# above this: tightening mixed_tol below it is an explicit request for
+# the deepest f32 state the plain state rule can deliver (see the
+# ``mixed_stall`` attribute comment)
+STALL_MIN_TOL = 1e-5
+
 
 class inference:
     """Mean-field variational inference for GPRNs
@@ -73,19 +79,25 @@ class inference:
         self.refine_max_sweeps = 80  # 'converge' sweep cap
         self.mixed_tol = 1e-4       # f32 state-convergence tolerance
         self.mixed_stall = True     # merit-stall stop on the mixed
-        # path's default 'state' branch (engine.fit_state_stall): the
-        # f32 sweep map has a ROUNDING FLOOR — the state wobbles
-        # ~1e-3/sweep forever, so the plain state tolerance often never
-        # fires and the fit burns the whole max_iter budget (measured:
-        # ~1100 sweeps at N=1000 where ~30 reach the floor).  The stall
-        # fit scores each block of ``stall_block`` sweeps by its f32
-        # ELBO and stops after ``stall_patience`` consecutive blocks
-        # fail to improve the best by > ``stall_tol``·|best|, returning
-        # the best-ELBO state for the f64 polish.  Set False for the
-        # round-4 behavior (deepest-possible f32 state per sweep
-        # budget; see the ``fit_accelerate`` caveat on why depth can
-        # matter at very large N).  Ignored by fit_method='cg'/'svi',
-        # mixed_stop='elbo', and fit_accelerate=True.
+        # path's default 'state' branch (engine.fit_state_stall): at
+        # realistic N the f32 sweep map has a ROUNDING FLOOR — the
+        # state wobbles ~1e-3/sweep forever, so the plain state
+        # tolerance never fires and the fit burns the whole max_iter
+        # budget (measured: 4.75 s / 2000 sweeps at N=1000 where the
+        # floor is reached by ~80).  The stall fit scores each block of
+        # ``stall_block`` sweeps by its f32 ELBO and stops after
+        # ``stall_patience`` consecutive blocks fail to improve the
+        # best by > ``stall_tol``·|best|, returning the best-ELBO
+        # state for the f64 polish.  ARMS ONLY at default-scale
+        # tolerances (``mixed_tol`` ≥ 1e-5): explicitly tightening
+        # mixed_tol below that is a request for the deepest f32 state
+        # — small/well-conditioned problems CAN reach tight deltas and
+        # for q > 1 an early stop can even settle a different
+        # permutation basin than the long-run f64 trajectory — and
+        # runs the plain state rule (the round-4 behavior, also
+        # available via mixed_stall=False).  Ignored by
+        # fit_method='cg'/'svi', mixed_stop='elbo', and
+        # fit_accelerate=True.
         self.stall_block = 8        # f32 sweeps per merit evaluation
         self.stall_tol = 1e-4       # relative ELBO improvement floor
         self.stall_patience = 3     # non-improving blocks before stop
@@ -97,25 +109,25 @@ class inference:
         # values < 1e-3, meanfield.py:640-646) so iteration semantics
         # match reference scripts, then polishes as usual
         self.fit_accelerate = False  # Anderson-accelerate the f32 bulk
-        # fit (the mixed path's dense/lean 'state'-stop branch only):
-        # host-driven fixed-point mixing (ops/fixedpoint.py) over blocks
-        # of ``accel_sweeps`` f32 sweeps, with the f32 ELBO of each
-        # block's own final sweep as the safeguard merit.  Two measured
-        # effects (N=300–1000 QP configs): ~2–3× fewer sweeps to a given
-        # ELBO level mid-ascent, and a stop that actually fires: the f32
-        # sweep map has a ROUNDING FLOOR (the state keeps wobbling
-        # ~1e-3 per sweep forever), so the plain path's state tolerance
-        # (``mixed_tol``) often never triggers and burns the whole
-        # ``max_iter`` budget; the accelerated path stops when the f32
-        # ELBO stops improving by more than ``accel_tol`` relative and
-        # returns the best-ELBO state.  CAVEAT — ``accel_tol`` trades
+        # fit (the mixed path's dense/lean 'state'-stop branch only;
+        # takes precedence over ``mixed_stall``): host-driven
+        # fixed-point mixing (ops/fixedpoint.py) over blocks of
+        # ``accel_sweeps`` f32 sweeps, with the f32 ELBO of each
+        # block's own final sweep as the safeguard merit.  Relative to
+        # the default on-device merit-stall fit it adds Anderson
+        # MIXING (~2–3× fewer sweeps to a given ELBO level mid-ascent,
+        # measured N=300–1000) at the cost of one tunnel round-trip
+        # per block; the stopping rule is the same merit-stall idea
+        # (stop when the f32 ELBO stops improving by > ``accel_tol``
+        # relative, return the best-ELBO state).
+        # CAVEAT — ``accel_tol`` trades
         # depth for time: near-unit spectral radii hide large geometric
         # tails behind small per-block gains (measured at N=5000: a
         # ρ≈0.999 mode still carried ~4% of |ELBO|; stopping on the
         # default threshold forfeited it and the subsequent polish
         # converged to a different, lower fixed point).  Lower
-        # ``accel_tol`` at large N, or keep the plain path when you
-        # want the deepest f32 state per sweep budget.  Every device
+        # ``accel_tol`` at large N, or set ``mixed_stall=False`` for
+        # the deepest f32 state per sweep budget.  Every device
         # call is one small bounded block.  Ignored by
         # fit_method='cg'/'svi' and mixed_stop='elbo', whose iteration
         # contracts are fixed by those modes.
@@ -678,7 +690,7 @@ class inference:
             elif self.fit_accelerate:
                 mu32, var32, n_iter, converged = self._accelerated_fit32(
                     f32_args, lean, max_iter)
-            elif self.mixed_stall:
+            elif self.mixed_stall and self.mixed_tol >= STALL_MIN_TOL:
                 fit = self.engine.fit_state_stall_lean if lean \
                     else self.engine.fit_state_stall
                 mu32, var32, n_iter, converged = fit(

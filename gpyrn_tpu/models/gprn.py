@@ -1001,7 +1001,8 @@ def make_engine(spec: GPRNSpec,
         the default mixed-precision bulk fit (the reference's all-f64
         fit stops on its ELBO rule, meanfield.py:640-646; the plain
         state rule here often never fires in f32).  Returns
-        (mu, var, n_iter, converged)."""
+        (mu, var, n_iter, converged); n_iter is block-granular — up to
+        ``block − 1`` sweeps may run past ``max_iter``."""
         _, _, L_all, Linv_nodes, y_c, y_raw, variance = _prepare(
             theta, t, y, yerr2)
         node_p, weight_p, _, _ = unpack_parameters(spec, theta)

@@ -147,6 +147,26 @@ def test_elbocalc_mixed_default_uses_stall():
     assert abs(elbo - e_plain) / abs(e_plain) < 2e-4, (elbo, e_plain)
 
 
+def test_tight_mixed_tol_disarms_stall():
+    """mixed_tol below STALL_MIN_TOL is an explicit depth request: the
+    mixed path must run the plain state rule, identical to
+    mixed_stall=False (small/well-conditioned problems can reach tight
+    deltas that the merit stall would forfeit)."""
+    g1 = _problem(100, seed=2)
+    g1.mixed_tol = 1e-8
+    e_a, _, _, it_a = g1.ELBOcalc(precision='mixed', max_iter=300)
+    g2 = _problem(100, seed=2)
+    g2.mixed_tol = 1e-8
+    g2.mixed_stall = False
+    e_b, _, _, it_b = g2.ELBOcalc(precision='mixed', max_iter=300)
+    assert int(it_a) == int(it_b)
+    assert e_a == e_b
+    # while the default tolerance does arm it (stops well under budget)
+    g3 = _problem(100, seed=2)
+    _, _, _, it_c = g3.ELBOcalc(precision='mixed', max_iter=300)
+    assert int(it_c) < int(it_a)
+
+
 def test_stall_returns_best_block_state():
     """On a merit stall the fit returns the best-merit block state."""
     import jax.numpy as jnp
