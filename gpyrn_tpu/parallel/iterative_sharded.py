@@ -37,7 +37,7 @@ __all__ = ["cg_solve_sharded"]
 
 @functools.lru_cache(maxsize=32)
 def _build(structure, mesh, axis_name, chunk, jacobi, nonstat,
-           lowrank):
+           lowrank, refresh_every):
     n_dev = mesh.shape[axis_name]
 
     def inner(params, t_full, b_full, d_full, m_full, nugget, tol,
@@ -124,20 +124,30 @@ def _build(structure, mesh, axis_name, chunk, jacobi, nonstat,
             alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
             x = jnp.where(ok[None, :], x + alpha[None, :] * p, x)
             r = jnp.where(ok[None, :], r - alpha[None, :] * Ap, r)
+            it = it + 1
+            if refresh_every:
+                # residual replacement, direction CONTINUED — see
+                # ops/iterative.cg_solve (one extra distributed matvec
+                # per refresh; the stop then acts on the honest b − A x)
+                r = lax.cond(it % int(refresh_every) == 0,
+                             lambda x_: b_full - mv(x_),
+                             lambda x_: r, x)
             z = apply_precond(r)
             rz_new = jnp.sum(r * z, axis=0)
             beta = jnp.where(ok & (rz_new > 0) & jnp.isfinite(rz_new),
                              rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
             p = z + beta[None, :] * p
-            return x, r, z, p, rz_new, it + 1
+            return x, r, z, p, rz_new, it
 
         x, r, z, p, rz, it = lax.while_loop(
             cond, body, (x0, r0, z0, z0, rz0,
                          jnp.asarray(0, jnp.int32)))
-        return x, it
+        relres = jnp.max(jnp.linalg.norm(b_full - mv(x), axis=0)
+                         / bnorm)
+        return x, it, relres
 
     f = jax.shard_map(inner, mesh=mesh, axis_names={axis_name},
-                      in_specs=P(), out_specs=(P(), P()),
+                      in_specs=P(), out_specs=(P(), P(), P()),
                       check_vma=False)
     return jax.jit(f)
 
@@ -145,7 +155,9 @@ def _build(structure, mesh, axis_name, chunk, jacobi, nonstat,
 def cg_solve_sharded(structure, params, t, b, mesh, d_add=None,
                      nugget=0.0, tol: float = 1e-6, maxiter: int = 200,
                      chunk: int = 1024, axis_name: str = DP_AXIS,
-                     jacobi: bool = True, precond_rank: int = 0):
+                     jacobi: bool = True, precond_rank: int = 0,
+                     refresh_every: int = 0,
+                     return_relres: bool = False):
     """Solve (K(t,t) + nugget·I + diag(d_add)) x = b over the mesh.
 
     Same contract as :func:`gpyrn_tpu.ops.iterative.cg_solve` with the
@@ -157,8 +169,13 @@ def cg_solve_sharded(structure, params, t, b, mesh, d_add=None,
     single-chip N=50k measurement is 200 stalled iterations → 5).  U is
     built once on the default device (O(N·m) memory, replicated into
     the solve); the per-iteration apply is two m-GEMVs of local work,
-    so the distributed matvec stays the only collective.  Returns
-    ``(x, n_iters)`` as host arrays.
+    so the distributed matvec stays the only collective.
+    ``refresh_every``/``return_relres`` mirror
+    :func:`gpyrn_tpu.ops.iterative.cg_solve`'s honesty controls (the
+    f32 recursive residual drifts identically in the distributed
+    solve; the true-residual recompute is one extra distributed
+    matvec).  Returns ``(x, n_iters)`` as host arrays — plus the
+    achieved true relative residual when ``return_relres``.
     """
     t = np.asarray(t)
     b = np.asarray(b)
@@ -210,10 +227,14 @@ def cg_solve_sharded(structure, params, t, b, mesh, d_add=None,
         w = jnp.zeros((1,), dtype)
         sqrt_h = jnp.ones((Np,), dtype)
     run = _build(structure, mesh, axis_name, int(chunk), bool(jacobi),
-                 bool(_k.is_nonstationary(structure)), lowrank)
-    x, it = run(jnp.asarray(params, dtype), t_full, b_full, d_full,
-                m_full, jnp.asarray(nugget, dtype),
-                jnp.asarray(tol, dtype), jnp.asarray(maxiter, jnp.int32),
-                Uq, w, sqrt_h)
+                 bool(_k.is_nonstationary(structure)), lowrank,
+                 int(refresh_every))
+    x, it, relres = run(jnp.asarray(params, dtype), t_full, b_full,
+                        d_full, m_full, jnp.asarray(nugget, dtype),
+                        jnp.asarray(tol, dtype),
+                        jnp.asarray(maxiter, jnp.int32), Uq, w, sqrt_h)
     x = np.asarray(x)[:N]
-    return (x[:, 0] if squeeze else x), int(it)
+    out = (x[:, 0] if squeeze else x)
+    if return_relres:
+        return out, int(it), float(relres)
+    return out, int(it)

@@ -187,6 +187,30 @@ def test_sharded_cg_lowrank_precond_matches_and_accelerates():
     assert it_p * 3 <= it_j, (it_p, it_j)
 
 
+def test_sharded_cg_refresh_and_relres():
+    """refresh_every/return_relres parity with the single-chip solver:
+    the refreshed distributed solve matches the plain one in f64 and
+    the reported relres equals an independent b − A x."""
+    t, b, d, k = _system(128, g.covfunc.QuasiPeriodic(1.0, 30.0, 20.0,
+                                                      0.7), seed=4)
+    pars = np.asarray(k.core_params(), dtype=float)
+    mesh = make_mesh(shape=(len(jax.devices()), 1))
+    x_p, _ = cg_solve_sharded(k.structure, pars, t, b, mesh, d_add=d,
+                              nugget=1e-2, tol=1e-10, maxiter=400)
+    x_r, it_r, rel = cg_solve_sharded(k.structure, pars, t, b, mesh,
+                                      d_add=d, nugget=1e-2, tol=1e-10,
+                                      maxiter=400, refresh_every=7,
+                                      return_relres=True)
+    np.testing.assert_allclose(x_r, x_p, rtol=1e-6, atol=1e-9)
+    resid = np.asarray(kernel_matvec(k.structure, pars, t,
+                                     jnp.asarray(x_r), nugget=1e-2)) \
+        + d[:, None] * x_r - b
+    true_rel = float(np.max(np.linalg.norm(resid, axis=0)
+                            / np.linalg.norm(b, axis=0)))
+    np.testing.assert_allclose(rel, true_rel, rtol=1e-6, atol=1e-12)
+    assert rel <= 1e-9
+
+
 def test_sharded_cg_lowrank_precond_zero_nugget_no_d_add():
     """precond_rank with nugget=0 and no d_add: h must stay positive
     (pivoting residual + TRAIN_NUGGET floor) — an all-zero h made the
