@@ -606,7 +606,8 @@ def measure_cg_fit():
     # the snippet), so editing either path re-measures instead of
     # replaying a stale committed number (round-4 advisor finding)
     sh = hashlib.sha256(_CG_AGREE_SNIPPET.encode())
-    for rel in ("gpyrn_tpu/models/cg_fit.py", "gpyrn_tpu/models/gprn.py"):
+    for rel in ("gpyrn_tpu/models/cg_fit.py", "gpyrn_tpu/models/gprn.py",
+                "gpyrn_tpu/ops/iterative.py"):
         with open(os.path.join(HERE, rel), "rb") as f:
             sh.update(f.read())
     agree_key = f"N{Na}_{sh.hexdigest()[:12]}"
