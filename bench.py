@@ -1227,6 +1227,23 @@ def measure_headline():
     on-device fit, and the cached reference-CPU baseline."""
     out = {}
     try:
+        # per-run tunnel calibration: a fixed 2048² f32 matmul chain's
+        # wall (median of 5, scalar host transfer each) — device+tunnel
+        # medians differ ~30% between runs from service load, so this
+        # field lets cross-round comparisons normalize that out
+        import jax
+        import jax.numpy as jnp
+        a = jnp.ones((2048, 2048), jnp.float32)
+        np.asarray((a @ a).sum())            # compile + settle
+        walls = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray((a @ a).sum())
+            walls.append(time.perf_counter() - t0)
+        out["tunnel_calib_ms"] = round(float(np.median(walls)) * 1e3, 2)
+    except Exception as e:  # noqa: BLE001
+        out["tunnel_calib_error"] = f"{type(e).__name__}: {e}"
+    try:
         ours_ms, elbo, ok, ips = measure_ours()
         out.update({
             "value": round(ours_ms, 3),
