@@ -1522,7 +1522,12 @@ def _phase_subprocess(name, timeout=2700, tries=2):
                 out[f"{name}_phase_skipped"] = \
                     f"{remaining:.0f}s of bench budget left"
                 return out
-            timeout = min(timeout, remaining)
+            # no single phase may eat more than ~55% of what's left:
+            # on a degraded tunnel one slow phase otherwise consumes
+            # the whole tail (observed: ns_parity timed out at 746 s
+            # and every later phase was skipped)
+            timeout = min(timeout, remaining,
+                          max(420.0, 0.55 * remaining))
         try:
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
@@ -1548,6 +1553,11 @@ def _phase_subprocess(name, timeout=2700, tries=2):
                     and attempt + 1 < tries:
                 time.sleep(30)
                 continue
+            return out
+        except subprocess.TimeoutExpired as e:
+            # a timed-out phase will time out again — don't retry, let
+            # the remaining budget go to the later phases
+            out = {f"{name}_phase_error": f"TimeoutExpired: {e}"}
             return out
         except Exception as e:  # noqa: BLE001
             out = {f"{name}_phase_error": f"{type(e).__name__}: {e}"}
